@@ -1,0 +1,21 @@
+"""orbslam2_nmi_tpu — a TPU-native monocular SLAM engine with NMI absolute localization.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of gsanya/orbslam2_NMI
+(ORB-SLAM2 + Normalized-Mutual-Information localization against a prior 3-D model).
+
+Design stance (see SURVEY.md §7): arrays, not object graphs. The map is a set of
+fixed-capacity SoA arrays with validity masks; all math is jitted JAX + Pallas
+kernels; host Python orchestrates tracking / mapping / loop closing as a
+step-interleaved scheduler instead of the reference's 4 POSIX threads
+(reference: src/System.cc:107-128).
+"""
+
+__version__ = "0.1.0"
+
+from orbslam2_nmi_tpu.config import (  # noqa: F401
+    CameraConfig,
+    NMIConfig,
+    ORBConfig,
+    SystemConfig,
+    load_yaml_config,
+)
