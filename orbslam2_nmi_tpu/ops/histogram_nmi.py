@@ -1,0 +1,200 @@
+"""Normalized-mutual-information scoring of (synthetic render x warped camera) pairs.
+
+TPU-native replacement for the reference's CUDA NMI pipeline
+(Thirdparty/CUDA_Functions/NMI.cu: histogram256all :52-104 with shared-memory
+atomics, ComputeEntropyKernel :230-267, pairwise-sum reductions :270-363, one
+4-byte D2H per pose kernel.cu:100). Design (SURVEY.md §7.5c):
+
+  * A 256x256 **joint histogram is a matmul**: with one-hot encodings
+    A=[P,256], B=[P,256] of the two images, J = A^T B. The MXU does this at
+    full throughput; no atomics, no scatter. Products are 0/1 (exact in bf16),
+    accumulation is f32 (exact below 2^24 counts).
+  * The joint **entropy is fused into the kernel** — each (s, r) grid cell
+    reduces its own J to the scalar Hab, so the kernel output is just [S, R]
+    floats: the whole 6-D pose grid costs ONE dispatch and ONE [S*R]-float
+    readback (the reference does S*R kernel launches + D2H syncs).
+  * Marginal entropies Ha[s], Hb[r] depend on single images only (S+R of
+    them, not S*R) and are computed with a cheap histogram outside the kernel.
+
+Score metrics (reference kernel.cuh:22-23, NMI.cu:344-359):
+    SUC  = 2 * (1 - Hab / (Ha + Hb))     <- enabled in the reference
+    ENMI = (Ha + Hb) / Hab
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+N_BINS = 256
+_CHUNK = 2048  # pixels per MXU matmul chunk
+
+
+def quantize_to_bins(img: jnp.ndarray, n_bins: int = N_BINS) -> jnp.ndarray:
+    """float [0,255] image -> int32 bin indices (uint8 semantics like NMI.cu)."""
+    return jnp.clip(img, 0, n_bins - 1).astype(jnp.int32)
+
+
+def marginal_entropy(bins_flat: jnp.ndarray, n_valid: int, n_bins: int = N_BINS) -> jnp.ndarray:
+    """Shannon entropy (log2) of one image's histogram. bins_flat: [P] int32."""
+    hist = jnp.zeros((n_bins,), jnp.float32).at[jnp.clip(bins_flat, 0, n_bins - 1)].add(
+        jnp.where(bins_flat >= 0, 1.0, 0.0)
+    )
+    p = hist / jnp.float32(n_valid)
+    return -jnp.sum(jnp.where(p > 0, p * jnp.log2(jnp.where(p > 0, p, 1.0)), 0.0))
+
+
+# ---------------------------------------------------------------------------
+# Reference implementation (jnp, used on CPU/tests and as the oracle)
+# ---------------------------------------------------------------------------
+
+
+def joint_entropy_reference(a: jnp.ndarray, b: jnp.ndarray, n_valid: int, n_bins: int = N_BINS) -> jnp.ndarray:
+    """Joint entropy of two [P] int32 bin arrays (padding marked as -1)."""
+    idx = jnp.clip(a, 0, n_bins - 1) * n_bins + jnp.clip(b, 0, n_bins - 1)
+    w = jnp.where((a >= 0) & (b >= 0), 1.0, 0.0)
+    hist = jnp.zeros((n_bins * n_bins,), jnp.float32).at[idx].add(w)
+    p = hist / jnp.float32(n_valid)
+    return -jnp.sum(jnp.where(p > 0, p * jnp.log2(jnp.where(p > 0, p, 1.0)), 0.0))
+
+
+def nmi_scores_reference(
+    synth_bins: jnp.ndarray,  # [S, P] int32
+    warp_bins: jnp.ndarray,  # [R, P] int32
+    n_valid: int,
+    metric: str = "SUC",
+    n_bins: int = N_BINS,
+) -> jnp.ndarray:
+    """[S, R] scores, pure jnp (scatter-add histograms). Oracle for the kernel."""
+    Ha = jax.vmap(lambda x: marginal_entropy(x, n_valid, n_bins))(synth_bins)
+    Hb = jax.vmap(lambda x: marginal_entropy(x, n_valid, n_bins))(warp_bins)
+    Hab = jax.vmap(
+        lambda a: jax.vmap(lambda b: joint_entropy_reference(a, b, n_valid, n_bins))(warp_bins)
+    )(synth_bins)
+    return _combine(Ha, Hb, Hab, metric)
+
+
+def _combine(Ha, Hb, Hab, metric):
+    s = Ha[:, None] + Hb[None, :]
+    if metric == "SUC":
+        return 2.0 * (1.0 - Hab / jnp.maximum(s, 1e-12))
+    elif metric == "ENMI":
+        return s / jnp.maximum(Hab, 1e-12)
+    raise ValueError(f"unknown NMI metric {metric!r}")
+
+
+# ---------------------------------------------------------------------------
+# Pallas TPU kernel
+# ---------------------------------------------------------------------------
+
+
+def _joint_entropy_kernel(n_chunks: int, n_valid: int, n_bins: int):
+    inv_n = 1.0 / float(n_valid)
+
+    def kernel(synth_ref, warp_ref, out_ref, acc_ref):
+        c = pl.program_id(2)
+
+        @pl.when(c == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        a = synth_ref[0, :]  # [CHUNK] int32 (pad = -1 -> zero one-hot row)
+        b = warp_ref[0, :]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (a.shape[0], n_bins), 1)
+        a_oh = (a[:, None] == iota).astype(jnp.bfloat16)
+        b_oh = (b[:, None] == iota).astype(jnp.bfloat16)
+        # J += A^T B on the MXU: contract the pixel dimension
+        acc_ref[:] += jax.lax.dot_general(
+            a_oh,
+            b_oh,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        @pl.when(c == n_chunks - 1)
+        def _():
+            p = acc_ref[:] * inv_n
+            plogp = jnp.where(p > 0, p * (jnp.log(jnp.where(p > 0, p, 1.0)) * 1.4426950408889634), 0.0)
+            out_ref[0, 0] = -jnp.sum(plogp)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("n_valid", "n_bins", "interpret"))
+def joint_entropy_grid_pallas(
+    synth_bins: jnp.ndarray,  # [S, P_pad] int32, padding = -1
+    warp_bins: jnp.ndarray,  # [R, P_pad] int32
+    n_valid: int,
+    n_bins: int = N_BINS,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """All-pairs joint entropies [S, R] in one Pallas dispatch."""
+    S, P = synth_bins.shape
+    R = warp_bins.shape[0]
+    assert P % _CHUNK == 0, f"pad pixel dim to a multiple of {_CHUNK}"
+    n_chunks = P // _CHUNK
+
+    grid = (S, R, n_chunks)
+    return pl.pallas_call(
+        _joint_entropy_kernel(n_chunks, n_valid, n_bins),
+        out_shape=jax.ShapeDtypeStruct((S, R), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, _CHUNK), lambda s, r, c: (s, c), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _CHUNK), lambda s, r, c: (r, c), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1), lambda s, r, c: (s, r), memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((n_bins, n_bins), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * S * R * P * n_bins,
+            bytes_accessed=(S + R) * P * 4 + S * R * 4,
+            transcendentals=S * R * n_bins * n_bins,
+        ),
+    )(synth_bins, warp_bins)
+
+
+def pad_pixels(bins: jnp.ndarray, chunk: int = _CHUNK) -> jnp.ndarray:
+    """Pad the pixel axis of [N, P] to a chunk multiple with -1 sentinels."""
+    p = bins.shape[-1]
+    pad = (-p) % chunk
+    if pad == 0:
+        return bins
+    return jnp.pad(bins, ((0, 0), (0, pad)), constant_values=-1)
+
+
+def nmi_scores(
+    synth: jnp.ndarray,  # [S, H, W] float or int images in [0, 255]
+    warped: jnp.ndarray,  # [R, H, W]
+    metric: str = "SUC",
+    n_bins: int = N_BINS,
+    use_pallas: bool | None = None,
+) -> jnp.ndarray:
+    """Score every (render, warp) pair: [S, R] float32.
+
+    The reference evaluates these S*R pairs one CUDA pipeline at a time inside
+    a 6-deep host loop (Tracking.cc:1879-1902); here it is one fused device
+    computation regardless of grid size.
+    """
+    S = synth.shape[0]
+    R = warped.shape[0]
+    P = int(np.prod(synth.shape[1:]))
+    sb = quantize_to_bins(synth.reshape(S, P), n_bins)
+    wb = quantize_to_bins(warped.reshape(R, P), n_bins)
+    if use_pallas is None:
+        use_pallas = jax.devices()[0].platform == "tpu"
+
+    Ha = jax.vmap(lambda x: marginal_entropy(x, P, n_bins))(sb)
+    Hb = jax.vmap(lambda x: marginal_entropy(x, P, n_bins))(wb)
+    if use_pallas:
+        Hab = joint_entropy_grid_pallas(pad_pixels(sb), pad_pixels(wb), P, n_bins)
+    else:
+        Hab = jax.vmap(
+            lambda a: jax.vmap(lambda b: joint_entropy_reference(a, b, P, n_bins))(wb)
+        )(sb)
+    return _combine(Ha, Hb, Hab, metric)

@@ -1,0 +1,242 @@
+"""NMI absolute localization against the prior 3-D model.
+
+The TPU-native equivalent of the fork's signature stack: NmiObjects
+(Thirdparty/Localization/localization.cpp:82-254) + the Tracking-side control
+flow RelocalizeWithNMI / RelocalizeWithNMIStrategy / CalculateNMIRelocalization
+(reference: src/Tracking.cc:1851-2179, :2374-2419).
+
+Where the reference walks a 6-deep host loop issuing one OpenGL render and one
+CUDA histogram pipeline per pose pair (with a 4-byte D2H sync each,
+kernel.cu:100), this implementation evaluates the WHOLE 6-D grid as three
+fused device computations per iteration:
+
+    1. warp the camera frame by all rotation hypotheses        (vmapped warp)
+    2. render the model at all translation candidates          (vmapped splat)
+    3. score all (render x warp) pairs                         (Pallas NMI kernel)
+
+and one [S*R]-float readback. The coarse-to-fine schedule, gain/middle
+termination, pose revert and adaptive accept threshold run on the host exactly
+as in the reference.
+
+Sign conventions: translation candidates move the camera center along its own
+axes, offset_cam = (i - (n-1)/2) * step per axis (x right, y down, z forward);
+rotation candidates compose camera-frame R = Rz Ry Rx on the right of Twc.
+The reference's GL-frame equivalent uses (left, down, backward) axes for
+(x, y, z) offsets (rendering.hpp:644-665) — a fixed sign flip per axis; both
+are symmetric centered grids, and render/update consistency is what matters
+(verified by the recover-a-known-perturbation tests).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orbslam2_nmi_tpu.config import CameraConfig, NMIConfig
+from orbslam2_nmi_tpu.geometry import se3
+from orbslam2_nmi_tpu.ops import histogram_nmi, homography, render
+from orbslam2_nmi_tpu.slam.nmi import search_kernel as sk
+
+
+@dataclass
+class NMIOutcome:
+    Tcw: np.ndarray  # final pose (possibly reverted)
+    nmi: float  # best NMI score of the last evaluated kernel
+    relocalized: bool
+    failed: bool
+    iterations: int
+    previous_poses: list  # Twc before each iteration (mvPreviousPoses parity)
+
+
+def _euler_zyx_matrix(angles: jnp.ndarray) -> jnp.ndarray:
+    """R = Rz(az) Ry(ay) Rx(ax) — same composition as the warp homographies
+    and CalculateNMIRelocalization (Tracking.cc:2374-2419)."""
+    ax, ay, az = angles[0], angles[1], angles[2]
+    Rx = se3.so3_exp(jnp.array([1.0, 0.0, 0.0]) * ax)
+    Ry = se3.so3_exp(jnp.array([0.0, 1.0, 0.0]) * ay)
+    Rz = se3.so3_exp(jnp.array([0.0, 0.0, 1.0]) * az)
+    hi = jax.lax.Precision.HIGHEST
+    return jnp.matmul(jnp.matmul(Rz, Ry, precision=hi), Rx, precision=hi)
+
+
+class NMILocalizer:
+    """Owns the render model + camera and runs NMI pose-grid searches."""
+
+    def __init__(
+        self,
+        cfg: NMIConfig,
+        camera: CameraConfig,
+        model: render.RenderModel,
+        log_fn: Optional[Callable[[str], None]] = None,
+        image_scale: int = 1,
+    ):
+        self.cfg = cfg
+        self.camera = camera
+        self.model = model
+        self.log = log_fn or (lambda s: None)
+        # NMI operates on (possibly downscaled) full frames; scale 1 = parity
+        self.scale = image_scale
+        self.height = camera.height // image_scale
+        self.width = camera.width // image_scale
+        K = camera.K.copy()
+        if image_scale != 1:
+            K[:2] /= image_scale
+        self.K = jnp.asarray(K)
+        self.initial_kernel = sk.SearchKernel(
+            num_synth=cfg.grid.synth_num,
+            num_warp=cfg.grid.warp_num,
+            step_synth=cfg.grid.synth_step,
+            step_warp=cfg.grid.warp_step,
+        )
+        self._eval_cache: dict = {}
+
+    # ------------------------------------------------------------------ grid
+
+    def evaluate_grid(
+        self, frame_gray: jnp.ndarray, Tcw: jnp.ndarray, kernel: sk.SearchKernel
+    ) -> np.ndarray:
+        """Score the full 6-D grid at pose Tcw. Returns [S, R] numpy scores.
+
+        Equivalent to one RelocalizeWithNMI grid sweep (Tracking.cc:1879-1902)
+        fused into three device dispatches.
+        """
+        offsets = render.translation_grid_offsets(kernel.num_synth, kernel.step_synth)
+        angles = homography.rotation_grid_angles(kernel.num_warp, kernel.step_warp)
+        synth = render.render_translation_grid(
+            self.model,
+            jnp.asarray(Tcw),
+            self.K,
+            offsets,
+            self.height,
+            self.width,
+            self.cfg.render_near,
+            self.cfg.render_far,
+            point_size=max(1, int(round(self.cfg.render_point_size / self.scale))),
+        )
+        warped = homography.warp_rotation_grid(frame_gray, self.K, angles)
+        scores = histogram_nmi.nmi_scores(
+            synth, warped, metric=self.cfg.metric, n_bins=self.cfg.n_bins
+        )
+        return np.asarray(scores)
+
+    # ------------------------------------------------------------- one round
+
+    def relocalize_once(
+        self, frame_gray: jnp.ndarray, Tcw: np.ndarray, kernel: sk.SearchKernel
+    ) -> tuple[np.ndarray, sk.SearchKernel]:
+        """One grid evaluation + pose snap to the best cell
+        (RelocalizeWithNMI, Tracking.cc:1851-1985)."""
+        scores = self.evaluate_grid(frame_gray, Tcw, kernel)
+        s_flat, r_flat = np.unravel_index(np.argmax(scores), scores.shape)
+        kernel = kernel.with_best_from_flat(int(s_flat), int(r_flat), float(scores[s_flat, r_flat]))
+        Tcw_new = self._apply_best_cell(Tcw, kernel)
+        return Tcw_new, kernel
+
+    def _apply_best_cell(self, Tcw: np.ndarray, kernel: sk.SearchKernel) -> np.ndarray:
+        """CalculateNMIRelocalization (Tracking.cc:2374-2419): compose the best
+        warp rotation into Twc and shift the camera center by the best render
+        offset (expressed in the ORIGINAL camera axes)."""
+        offsets = np.asarray(
+            render.translation_grid_offsets(kernel.num_synth, kernel.step_synth)
+        )
+        nsx, nsy, _ = kernel.num_synth
+        bsx, bsy, bsz = kernel.best_synth
+        s_flat = (bsz * nsy + bsy) * nsx + bsx
+        off_cam = offsets[s_flat]
+
+        angles_r = np.asarray(
+            homography.rotation_grid_angles(kernel.num_warp, kernel.step_warp)
+        )
+        nwx, nwy, _ = kernel.num_warp
+        bwx, bwy, bwz = kernel.best_warp
+        r_flat = (bwz * nwy + bwy) * nwx + bwx
+        R_warp = np.asarray(_euler_zyx_matrix(jnp.asarray(angles_r[r_flat])))
+
+        Twc = np.asarray(se3.se3_inverse(jnp.asarray(Tcw)))
+        Twc_new = Twc.copy()
+        Twc_new[:3, :3] = Twc[:3, :3] @ R_warp
+        Twc_new[:3, 3] = Twc[:3, 3] + Twc[:3, :3] @ off_cam
+        return np.asarray(se3.se3_inverse(jnp.asarray(Twc_new)))
+
+    # ------------------------------------------------------------- strategy
+
+    def relocalize_strategy(
+        self,
+        frame_gray: jnp.ndarray,
+        Tcw: np.ndarray,
+        dist_since: tuple[float, float, float] = (0.0, 0.0, 0.0),
+        rot_since: tuple[float, float, float] = (0.0, 0.0, 0.0),
+        initializing: bool = False,
+    ) -> NMIOutcome:
+        """Full coarse-to-fine NMI relocalization
+        (RelocalizeWithNMIStrategy, Tracking.cc:1987-2179)."""
+        cfg = self.cfg
+        # --- kernel sizing (Tracking.cc:2001-2070)
+        if dist_since[0] > 0.0:
+            kernel = sk.initial_kernel_for_drift(
+                self.initial_kernel, dist_since, rot_since, cfg.drift_fraction
+            )
+        elif initializing:
+            kernel = sk.initial_kernel_for_init(self.initial_kernel)
+        else:
+            kernel = dataclasses.replace(self.initial_kernel)
+
+        Tcw_save = Tcw.copy()
+        Tcw_save_last = Tcw.copy()
+        last_nmi = 0.0
+        under_threshold = 0
+        previous_poses = []
+        i = 0
+        while True:
+            i += 1
+            if i > cfg.max_iteration_count:
+                break
+            previous_poses.append(np.asarray(se3.se3_inverse(jnp.asarray(Tcw))))
+            Tcw, kernel = self.relocalize_once(frame_gray, Tcw, kernel)
+            self.log(
+                f"NMI iter {i}: nmi={kernel.nmi:.5f} best_s={kernel.best_synth} "
+                f"best_w={kernel.best_warp} steps={kernel.step_synth}/{kernel.step_warp}"
+            )
+            if i > 1 and kernel.is_middle():
+                break
+            if i > 1:
+                gain = kernel.nmi / last_nmi if last_nmi > 0 else float("inf")
+                if gain < cfg.gain_epsilon:
+                    if under_threshold > 0:
+                        break
+                    under_threshold += 1
+                else:
+                    under_threshold = 0
+            last_nmi = kernel.nmi
+            kernel = kernel.resized()
+            Tcw_save_last = Tcw.copy()
+
+        # revert to previous iterate if the last evaluation regressed
+        if kernel.nmi < last_nmi:
+            Tcw = Tcw_save_last
+
+        # adaptive acceptance (Tracking.cc:2140-2168)
+        distance = float(np.linalg.norm(dist_since))
+        threshold = sk.adaptive_threshold(cfg.threshold, distance)
+        if kernel.nmi < threshold:
+            return NMIOutcome(
+                Tcw=Tcw_save,
+                nmi=kernel.nmi,
+                relocalized=False,
+                failed=True,
+                iterations=i,
+                previous_poses=previous_poses,
+            )
+        return NMIOutcome(
+            Tcw=Tcw,
+            nmi=kernel.nmi,
+            relocalized=True,
+            failed=False,
+            iterations=i,
+            previous_poses=previous_poses,
+        )

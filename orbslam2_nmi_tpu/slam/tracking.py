@@ -1,0 +1,585 @@
+"""Tracking front-end: per-frame pose estimation, keyframe policy, NMI triggers.
+
+The TPU-native equivalent of src/Tracking.cc (2,459 LoC in the reference).
+Host Python orchestrates; every numeric stage is a jitted device call:
+ORB extraction, windowed matching, pose-only LM, NMI grid search.
+
+Pipeline parity (Tracking::Track, reference src/Tracking.cc:356-692):
+  NOT_INITIALIZED -> InitializeWithNMI at frame 0 and frame NMI.Offset
+                     (Tracking.cc:2181-2372; poses may also be supplied
+                     directly for model-free runs/tests)
+  OK  -> TrackWithMotionModel (:1083) -> TrackReferenceKeyFrame fallback (:950)
+      -> TrackLocalMap (:1172) -> NeedNewKeyFrame/CreateNewKeyFrame (:1217,:1313)
+      -> NMI relocalization every `reloc_frequency`-th keyframe (:598-623)
+  LOST -> reset if <= 5 KFs (:637-643)
+
+Drift accumulators mirror Tracking.cc:648-662: per-axis |delta| of camera
+translation and Euler angles accumulated per frame, reset per-axis after a
+successful NMI relocalization of a searched axis (:600-612).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from enum import Enum
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from orbslam2_nmi_tpu.config import SystemConfig
+from orbslam2_nmi_tpu.geometry import camera as cam_geo
+from orbslam2_nmi_tpu.geometry import se3
+from orbslam2_nmi_tpu.ops import matching, triangulate
+from orbslam2_nmi_tpu.ops.orb import extract_orb
+from orbslam2_nmi_tpu.slam.frame import FrameData
+from orbslam2_nmi_tpu.slam.map_store import MapStore
+from orbslam2_nmi_tpu.solvers import pose_gn
+
+
+class TrackingState(Enum):
+    NOT_INITIALIZED = 0
+    OK = 1
+    LOST = 2
+
+
+@dataclass
+class TrackResult:
+    state: TrackingState
+    Tcw: Optional[np.ndarray]
+    n_inliers: int
+    is_keyframe: bool
+    nmi_relocalized: bool = False
+    nmi_score: float = 0.0
+
+
+def euler_zyx_angles(R: np.ndarray) -> np.ndarray:
+    """Euler angles as used by the drift accumulator
+    (rotationMatrixToEulerAngles, Tracking.cc:655)."""
+    sy = np.sqrt(R[0, 0] ** 2 + R[1, 0] ** 2)
+    if sy > 1e-6:
+        return np.array(
+            [np.arctan2(R[2, 1], R[2, 2]), np.arctan2(-R[2, 0], sy), np.arctan2(R[1, 0], R[0, 0])]
+        )
+    return np.array([np.arctan2(-R[1, 2], R[1, 1]), np.arctan2(-R[2, 0], sy), 0.0])
+
+
+class Tracker:
+    def __init__(
+        self,
+        cfg: SystemConfig,
+        map_store: MapStore,
+        local_mapper=None,
+        nmi_localizer=None,
+        log_fn: Optional[Callable[[str], None]] = None,
+    ):
+        self.cfg = cfg
+        self.map = map_store
+        self.local_mapper = local_mapper
+        self.nmi = nmi_localizer
+        self.log = log_fn or (lambda s: None)
+
+        self.state = TrackingState.NOT_INITIALIZED
+        self.velocity: Optional[np.ndarray] = None  # Tcw_cur @ inv(Tcw_last)
+        self.last_frame: Optional[FrameData] = None
+        self.init_frame: Optional[FrameData] = None
+        self.ref_kf: int = -1
+        self.last_kf_frame_id: int = -1
+        self.kfs_since_last_nmi: int = 0
+        self.dist_since_nmi = np.zeros(3)
+        self.rot_since_nmi = np.zeros(3)
+        self.trajectory: list = []  # (frame_id, t, Tcw, flags) rows
+        self._gray: Optional[np.ndarray] = None
+
+        # per-octave information weights: invSigma2 = 1/scale^2 (Frame.cc)
+        n_lv = cfg.orb.n_levels
+        sf = cfg.orb.scale_factor
+        self.inv_sigma2 = (1.0 / (sf ** np.arange(n_lv)) ** 2).astype(np.float32)
+        self.K = cfg.camera.K
+        self.dist_coeffs = np.array(
+            [cfg.camera.k1, cfg.camera.k2, cfg.camera.p1, cfg.camera.p2, cfg.camera.k3],
+            np.float32,
+        )
+        # init poses (NMI.Init1/Init2 are Twc matrices in the yaml)
+        self._init_T1: Optional[np.ndarray] = None
+        self._init_T2: Optional[np.ndarray] = None
+        if cfg.nmi.init1 is not None:
+            self._init_T1 = np.linalg.inv(cfg.nmi.init1.astype(np.float32))
+        if cfg.nmi.init2 is not None:
+            self._init_T2 = np.linalg.inv(cfg.nmi.init2.astype(np.float32))
+
+    def set_init_poses(self, Tcw1: np.ndarray, Tcw2: np.ndarray):
+        """Supply init poses directly (tests / model-free runs)."""
+        self._init_T1 = Tcw1.astype(np.float32)
+        self._init_T2 = Tcw2.astype(np.float32)
+
+    # ------------------------------------------------------------ per frame
+
+    def process_frame(self, frame_id: int, timestamp: float, gray_u8: np.ndarray) -> TrackResult:
+        self._gray = gray_u8
+        frame = self._make_frame(frame_id, timestamp, gray_u8)
+
+        if self.state == TrackingState.NOT_INITIALIZED:
+            res = self._initialize(frame)
+        else:
+            res = self._track(frame)
+
+        # drift accumulators (Tracking.cc:648-662)
+        if (
+            frame.Tcw is not None
+            and self.last_frame is not None
+            and self.last_frame.Tcw is not None
+        ):
+            dT = np.abs(frame.Tcw[:3, 3] - self.last_frame.Tcw[:3, 3])
+            self.dist_since_nmi += dT
+            dR = np.abs(
+                euler_zyx_angles(frame.Tcw[:3, :3]) - euler_zyx_angles(self.last_frame.Tcw[:3, :3])
+            )
+            self.rot_since_nmi += dR
+
+        if frame.Tcw is not None:
+            flags = []
+            if res.is_keyframe:
+                flags.append("KF")
+            if frame.nmi_relocalized:
+                flags.append("NMI")
+            if frame.nmi_failed:
+                flags.append("FAILED")
+            self.trajectory.append(
+                (frame_id, timestamp, frame.Tcw.copy(), flags, [p.copy() for p in frame.previous_poses])
+            )
+        self.last_frame = frame
+        return res
+
+    def _make_frame(self, frame_id: int, timestamp: float, gray_u8: np.ndarray) -> FrameData:
+        feats = extract_orb(jnp.asarray(gray_u8), self.cfg.orb)
+        xy_raw = np.asarray(feats.xy)
+        if self.cfg.camera.has_distortion:
+            xy = np.asarray(
+                cam_geo.undistort_points(
+                    jnp.asarray(self.K), jnp.asarray(self.dist_coeffs), feats.xy
+                )
+            )
+        else:
+            xy = xy_raw
+        return FrameData(
+            frame_id=frame_id,
+            timestamp=timestamp,
+            Tcw=None,
+            xy=xy,
+            xy_raw=xy_raw,
+            octave=np.asarray(feats.octave),
+            angle=np.asarray(feats.angle),
+            desc=np.asarray(feats.desc),
+            valid=np.asarray(feats.valid),
+        )
+
+    # ---------------------------------------------------------- initialization
+
+    def _initialize(self, frame: FrameData) -> TrackResult:
+        """InitializeWithNMI (Tracking.cc:2181-2372): pose frame 0 and frame
+        `offset` from NMI (or supplied poses), match, triangulate, global BA
+        with both KFs NMI-fixed => metric georeferenced scale."""
+        cfg = self.cfg.nmi
+        if frame.frame_id == 0 or self.init_frame is None:
+            if self._init_T1 is None:
+                return TrackResult(self.state, None, 0, False)
+            frame.Tcw = self._init_T1.copy()
+            self._run_nmi(frame, initializing=True)
+            self.init_frame = frame
+            return TrackResult(self.state, frame.Tcw, 0, False)
+
+        if frame.frame_id < self.init_frame.frame_id + cfg.offset:
+            return TrackResult(self.state, None, 0, False)
+
+        frame.Tcw = (self._init_T2 if self._init_T2 is not None else self._init_T1).copy()
+        self._run_nmi(frame, initializing=True)
+
+        f1, f2 = self.init_frame, frame
+        idx, dist = matching.match_descriptors(
+            jnp.asarray(f1.desc),
+            jnp.asarray(f1.valid),
+            jnp.asarray(f2.desc),
+            jnp.asarray(f2.valid),
+            max_dist=matching.TH_LOW,
+            nn_ratio=0.9,
+            angle_a=jnp.asarray(f1.angle),
+            angle_b=jnp.asarray(f2.angle),
+            check_rotation=True,
+        )
+        idx = np.asarray(idx)
+        m1 = np.nonzero(idx >= 0)[0]
+        m2 = idx[m1]
+        if len(m1) < 20:
+            self.log(f"init: only {len(m1)} matches, retrying with next frame pair")
+            self.init_frame = None
+            return TrackResult(self.state, frame.Tcw, 0, False)
+
+        tri = triangulate.triangulate_and_gate(
+            jnp.asarray(self.K),
+            jnp.asarray(f1.Tcw),
+            jnp.asarray(f2.Tcw),
+            jnp.asarray(f1.xy[m1]),
+            jnp.asarray(f2.xy[m2]),
+            jnp.asarray(self.inv_sigma2[f1.octave[m1]]),
+            jnp.asarray(self.inv_sigma2[f2.octave[m2]]),
+            jnp.ones(len(m1), bool),
+        )
+        ok = np.asarray(tri.valid)
+        pts = np.asarray(tri.points_w)
+        if ok.sum() < 15:
+            self.log(f"init: only {int(ok.sum())} triangulated, aborting this pair")
+            self.init_frame = None
+            return TrackResult(self.state, frame.Tcw, 0, False)
+
+        # create the two NMI-anchored keyframes + map points
+        k1 = self.map.add_keyframe(
+            f1.Tcw, f1.frame_id, f1.timestamp, f1.xy, f1.octave, f1.angle, f1.desc,
+            f1.valid, nmi_relocalized=True,
+        )
+        k2 = self.map.add_keyframe(
+            f2.Tcw, f2.frame_id, f2.timestamp, f2.xy, f2.octave, f2.angle, f2.desc,
+            f2.valid, nmi_relocalized=frame.nmi_relocalized or self.nmi is None,
+        )
+        for i in np.nonzero(ok)[0]:
+            fa, fb = int(m1[i]), int(m2[i])
+            p = self.map.add_map_point(
+                pts[i], f1.desc[fa], k1, np.zeros(3, np.float32)
+            )
+            self.map.add_observation(k1, fa, p)
+            self.map.add_observation(k2, fb, p)
+            self.map.update_point_stats(
+                p, self.K, self.cfg.orb.scale_factor, self.cfg.orb.n_levels
+            )
+            frame.mp_idx[fb] = p
+
+        # global BA on the initial map (20 iters, both KFs fixed via NMI flag)
+        if self.local_mapper is not None:
+            self.local_mapper.global_ba(iters=20)
+            frame.Tcw = self.map.kf_Tcw[k2].copy()
+
+        self.ref_kf = k2
+        self.last_kf_frame_id = frame.frame_id
+        self.state = TrackingState.OK
+        self.log(
+            f"NMI initialization: {int(ok.sum())} map points from frames "
+            f"{f1.frame_id}/{f2.frame_id}"
+        )
+        return TrackResult(self.state, frame.Tcw, int(ok.sum()), True)
+
+    # ---------------------------------------------------------------- track
+
+    def _track(self, frame: FrameData) -> TrackResult:
+        t = self.cfg.tracking
+        ok = False
+        if self.velocity is not None and self.last_frame is not None:
+            ok = self._track_with_motion_model(frame)
+        if not ok:
+            ok = self._track_reference_keyframe(frame)
+
+        if not ok:
+            self.state = TrackingState.LOST
+            self.log(f"frame {frame.frame_id}: tracking LOST")
+            return TrackResult(self.state, None, 0, False)
+
+        n_inliers = self._track_local_map(frame)
+        if n_inliers < 10:
+            self.state = TrackingState.LOST
+            self.log(f"frame {frame.frame_id}: local map tracking failed ({n_inliers})")
+            return TrackResult(self.state, None, n_inliers, False)
+
+        # velocity model update
+        if self.last_frame is not None and self.last_frame.Tcw is not None:
+            self.velocity = frame.Tcw @ np.linalg.inv(self.last_frame.Tcw)
+
+        is_kf = False
+        nmi_reloc = False
+        if self._need_new_keyframe(frame, n_inliers):
+            # NMI relocalization every reloc_frequency-th KF (Tracking.cc:598-623)
+            if (
+                self.nmi is not None
+                and self.kfs_since_last_nmi + 1 == self.cfg.nmi.reloc_frequency
+            ):
+                nmi_reloc = self._run_nmi(frame, initializing=False)
+            self._create_keyframe(frame)
+            is_kf = True
+            self.kfs_since_last_nmi += 1
+            if self.kfs_since_last_nmi >= self.cfg.nmi.reloc_frequency:
+                self.kfs_since_last_nmi = 0
+
+        # drop outlier bindings so the next frame doesn't use them (Tracking.cc:627)
+        frame.mp_idx[frame.outlier] = -1
+        frame.outlier[:] = False
+
+        return TrackResult(self.state, frame.Tcw, n_inliers, is_kf, nmi_reloc)
+
+    def _pose_optimize(self, frame: FrameData) -> int:
+        bound = frame.mp_idx >= 0
+        idxs = np.nonzero(bound)[0]
+        if len(idxs) < 3:
+            return 0
+        pts = self.map.mp_pos[frame.mp_idx[idxs]]
+        res = pose_gn.pose_optimization_jit(
+            jnp.asarray(self.K),
+            jnp.asarray(frame.Tcw),
+            jnp.asarray(pts),
+            jnp.asarray(frame.xy[idxs]),
+            jnp.asarray(self.inv_sigma2[frame.octave[idxs]]),
+            jnp.ones(len(idxs), bool),
+            rounds=self.cfg.tracking.pose_opt_rounds,
+            iters=self.cfg.tracking.pose_opt_iters,
+        )
+        frame.Tcw = np.asarray(res.Tcw)
+        inl = np.asarray(res.inliers)
+        frame.outlier[idxs] = ~inl
+        return int(res.n_inliers)
+
+    def _track_with_motion_model(self, frame: FrameData) -> bool:
+        """Tracking.cc:1083: project last frame's points at the predicted pose,
+        windowed search th=15 (doubled on failure), then pose-only LM."""
+        last = self.last_frame
+        frame.Tcw = self.velocity @ last.Tcw
+        bound = last.mp_idx >= 0
+        if bound.sum() < 10:
+            return False
+        mp_ids = last.mp_idx[bound]
+        pts = self.map.mp_pos[mp_ids]
+
+        for th in (15.0, 30.0):
+            proj = self._project(frame.Tcw, pts)
+            radius = th * self.cfg.orb.scale_factor ** last.octave[bound].astype(np.float32)
+            sm = matching.window_mask(
+                jnp.asarray(proj),
+                jnp.asarray(frame.xy),
+                jnp.asarray(radius),
+                jnp.asarray(last.octave[bound]),
+                jnp.asarray(frame.octave),
+                level_window=1,
+            )
+            idx, _ = matching.match_descriptors(
+                jnp.asarray(last.desc[bound]),
+                jnp.ones(int(bound.sum()), bool),
+                jnp.asarray(frame.desc),
+                jnp.asarray(frame.valid),
+                spatial_mask=sm,
+                max_dist=matching.TH_HIGH,
+                apply_ratio=False,
+                angle_a=jnp.asarray(last.angle[bound]),
+                angle_b=jnp.asarray(frame.angle),
+                check_rotation=True,
+            )
+            idx = np.asarray(idx)
+            n_matches = (idx >= 0).sum()
+            if n_matches >= 20:
+                break
+        if n_matches < 20:
+            return False
+
+        frame.mp_idx[:] = -1
+        src = np.nonzero(idx >= 0)[0]
+        frame.mp_idx[idx[src]] = mp_ids[src]
+        n_in = self._pose_optimize(frame)
+        self.log(f"frame {frame.frame_id}: motion model {n_matches} matches, {n_in} inliers")
+        return n_in >= 10
+
+    def _track_reference_keyframe(self, frame: FrameData) -> bool:
+        """Tracking.cc:950: descriptor match against the reference KF's
+        map-point features (BoW-accelerated there, dense here) + pose LM."""
+        if self.ref_kf < 0:
+            return False
+        k = self.ref_kf
+        has_mp = self.map.kf_mp_idx[k] >= 0
+        if has_mp.sum() < 10:
+            return False
+        idx, _ = matching.match_descriptors(
+            jnp.asarray(self.map.kf_feat_desc[k]),
+            jnp.asarray(has_mp),
+            jnp.asarray(frame.desc),
+            jnp.asarray(frame.valid),
+            max_dist=matching.TH_LOW,
+            nn_ratio=0.7,
+            angle_a=jnp.asarray(self.map.kf_feat_angle[k]),
+            angle_b=jnp.asarray(frame.angle),
+            check_rotation=True,
+        )
+        idx = np.asarray(idx)
+        src = np.nonzero(idx >= 0)[0]
+        if len(src) < 15:
+            return False
+        frame.Tcw = (
+            self.last_frame.Tcw.copy() if self.last_frame.Tcw is not None else self.map.kf_Tcw[k].copy()
+        )
+        frame.mp_idx[:] = -1
+        frame.mp_idx[idx[src]] = self.map.kf_mp_idx[k][src]
+        n_in = self._pose_optimize(frame)
+        self.log(f"frame {frame.frame_id}: ref-KF {len(src)} matches, {n_in} inliers")
+        return n_in >= 10
+
+    def _track_local_map(self, frame: FrameData) -> int:
+        """Tracking.cc:1172: widen matches to the covisible local map, then a
+        final pose optimization."""
+        local_kfs = self._local_keyframes(frame)
+        if len(local_kfs) == 0:
+            return self._pose_optimize(frame)
+        mp_set = np.unique(self.map.kf_mp_idx[local_kfs])
+        mp_set = mp_set[(mp_set >= 0) & self.map.mp_valid[np.maximum(mp_set, 0)]]
+        already = set(frame.mp_idx[frame.mp_idx >= 0].tolist())
+        cand = np.array([p for p in mp_set if p not in already], np.int32)
+        if len(cand) > 0:
+            pts = self.map.mp_pos[cand]
+            proj = self._project(frame.Tcw, pts)
+            pc = (frame.Tcw[:3, :3] @ pts.T).T + frame.Tcw[:3, 3]
+            depth = pc[:, 2]
+            dist = np.linalg.norm(pts - self._cam_center(frame.Tcw), axis=-1)
+            in_range = (
+                (depth > 0)
+                & (proj[:, 0] >= 0)
+                & (proj[:, 0] < self.cfg.camera.width)
+                & (proj[:, 1] >= 0)
+                & (proj[:, 1] < self.cfg.camera.height)
+                & (dist >= 0.8 * self.map.mp_min_dist[cand])
+                & (dist <= 1.2 * self.map.mp_max_dist[cand])
+            )
+            # viewing angle < 60 deg vs. point normal (Frame::isInFrustum)
+            view = (pts - self._cam_center(frame.Tcw)) / np.maximum(dist[:, None], 1e-9)
+            cosv = (view * self.map.mp_normal[cand]).sum(-1)
+            in_range &= cosv > 0.5
+            self.map.mp_visible[cand[in_range]] += 1
+            cand = cand[in_range]
+            proj = proj[in_range]
+            if len(cand) > 0:
+                # predict octave from distance (MapPoint::PredictScale)
+                ratio = np.maximum(self.map.mp_max_dist[cand] / np.maximum(dist[in_range], 1e-9), 1.0)
+                pred_level = np.clip(
+                    np.ceil(np.log(ratio) / np.log(self.cfg.orb.scale_factor)).astype(np.int32),
+                    0,
+                    self.cfg.orb.n_levels - 1,
+                )
+                radius = 4.0 * self.cfg.orb.scale_factor ** pred_level.astype(np.float32)
+                sm = matching.window_mask(
+                    jnp.asarray(proj),
+                    jnp.asarray(frame.xy),
+                    jnp.asarray(radius),
+                    jnp.asarray(pred_level),
+                    jnp.asarray(frame.octave),
+                    level_window=1,
+                )
+                # only unmatched frame features may bind
+                free = jnp.asarray((frame.mp_idx < 0) & frame.valid)
+                idx, _ = matching.match_descriptors(
+                    jnp.asarray(self.map.mp_desc[cand]),
+                    jnp.ones(len(cand), bool),
+                    jnp.asarray(frame.desc),
+                    free,
+                    spatial_mask=sm,
+                    max_dist=matching.TH_HIGH,
+                    nn_ratio=0.8,
+                )
+                idx = np.asarray(idx)
+                src = np.nonzero(idx >= 0)[0]
+                frame.mp_idx[idx[src]] = cand[src]
+                self.map.mp_found[cand[src]] += 1
+
+        n_in = self._pose_optimize(frame)
+        self.log(f"frame {frame.frame_id}: local map -> {n_in} inliers")
+        return n_in
+
+    def _local_keyframes(self, frame: FrameData) -> np.ndarray:
+        """KFs sharing points with the frame + their best covisibles
+        (UpdateLocalKeyFrames, Tracking.cc:1486)."""
+        bound = frame.mp_idx[frame.mp_idx >= 0]
+        if len(bound) == 0:
+            if self.ref_kf >= 0:
+                return np.array([self.ref_kf], np.int64)
+            return np.array([], np.int64)
+        counts: dict[int, int] = {}
+        for p in bound:
+            n = self.map.mp_obs_n[p]
+            for k in self.map.mp_obs_kf[p, :n]:
+                counts[int(k)] = counts.get(int(k), 0) + 1
+        kfs = sorted(counts, key=counts.get, reverse=True)[:80]
+        if kfs:
+            self.ref_kf = kfs[0]
+        expanded = set(kfs)
+        for k in kfs[:10]:
+            expanded.update(self.map.best_covisible(k, 10).tolist())
+        return np.fromiter(expanded, np.int64)
+
+    # ------------------------------------------------------------- keyframes
+
+    def _need_new_keyframe(self, frame: FrameData, n_inliers: int) -> bool:
+        """Tracking.cc:1217 monocular conditions (mapper assumed idle in the
+        step-interleaved scheduler)."""
+        t = self.cfg.tracking
+        if self.map.n_keyframes == 0:
+            return False
+        ref_tracked = int((self.map.kf_mp_idx[self.ref_kf] >= 0).sum()) if self.ref_kf >= 0 else 0
+        th_ref = max(int(0.9 * ref_tracked), 15)
+        c1a = frame.frame_id >= self.last_kf_frame_id + t.max_frames
+        c1b = frame.frame_id >= self.last_kf_frame_id + t.min_frames
+        c2 = n_inliers < th_ref and n_inliers > 15
+        return bool((c1a or c1b) and c2) or bool(c1a and n_inliers > 15)
+
+    def _create_keyframe(self, frame: FrameData):
+        k = self.map.add_keyframe(
+            frame.Tcw,
+            frame.frame_id,
+            frame.timestamp,
+            frame.xy,
+            frame.octave,
+            frame.angle,
+            frame.desc,
+            frame.valid,
+            mp_idx=np.where(frame.outlier, -1, frame.mp_idx),
+            nmi_relocalized=frame.nmi_relocalized,
+            nmi_failed=frame.nmi_failed,
+        )
+        self.ref_kf = k
+        self.last_kf_frame_id = frame.frame_id
+        if self.local_mapper is not None:
+            self.local_mapper.process_keyframe(k)
+            frame.Tcw = self.map.kf_Tcw[k].copy()
+        self.log(f"frame {frame.frame_id}: new keyframe {k}")
+
+    # ------------------------------------------------------------------ NMI
+
+    def _run_nmi(self, frame: FrameData, initializing: bool) -> bool:
+        if self.nmi is None:
+            return False
+        out = self.nmi.relocalize_strategy(
+            jnp.asarray(self._gray.astype(np.float32)),
+            frame.Tcw,
+            dist_since=tuple(self.dist_since_nmi),
+            rot_since=tuple(self.rot_since_nmi),
+            initializing=initializing,
+        )
+        frame.previous_poses.extend(out.previous_poses)
+        frame.Tcw = out.Tcw
+        frame.nmi_relocalized = out.relocalized
+        frame.nmi_failed = out.failed
+        if out.relocalized:
+            # reset searched drift axes (Tracking.cc:600-612)
+            self.dist_since_nmi[:] = 0.0
+            self.rot_since_nmi[:] = 0.0
+        self.log(
+            f"frame {frame.frame_id}: NMI {'ok' if out.relocalized else 'FAILED'} "
+            f"score={out.nmi:.4f} iters={out.iterations}"
+        )
+        return out.relocalized
+
+    # ----------------------------------------------------------------- utils
+
+    def _project(self, Tcw: np.ndarray, pts: np.ndarray) -> np.ndarray:
+        pc = (Tcw[:3, :3] @ pts.T).T + Tcw[:3, 3]
+        z = np.where(np.abs(pc[:, 2]) > 1e-9, pc[:, 2], 1e-9)
+        return np.stack(
+            [
+                self.K[0, 0] * pc[:, 0] / z + self.K[0, 2],
+                self.K[1, 1] * pc[:, 1] / z + self.K[1, 2],
+            ],
+            axis=-1,
+        )
+
+    @staticmethod
+    def _cam_center(Tcw: np.ndarray) -> np.ndarray:
+        return -Tcw[:3, :3].T @ Tcw[:3, 3]

@@ -1,0 +1,313 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from orbslam2_nmi_tpu.config import CameraConfig, NMIConfig, NMIGridConfig
+from orbslam2_nmi_tpu.geometry import se3
+from orbslam2_nmi_tpu.ops import histogram_nmi, homography, render
+from orbslam2_nmi_tpu.slam.nmi import search_kernel as sk
+from orbslam2_nmi_tpu.slam.nmi.localizer import NMILocalizer
+
+
+# ---------------------------------------------------------------- homography
+
+
+def test_identity_warp_preserves_image():
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.uniform(0, 255, (48, 64)).astype(np.float32))
+    K = jnp.asarray(CameraConfig(fx=100, fy=100, cx=32, cy=24).K)
+    out = homography.warp_rotation_grid(img, K, jnp.zeros((1, 3)))
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(img), atol=1e-2)
+
+
+def test_warp_grid_shape_and_centering():
+    img = jnp.zeros((32, 40))
+    K = jnp.asarray(CameraConfig(fx=100, fy=100, cx=20, cy=16).K)
+    angles = homography.rotation_grid_angles((3, 3, 3), (0.02, 0.02, 0.05))
+    assert angles.shape == (27, 3)
+    # center index 13 = (1,1,1) has zero rotation
+    np.testing.assert_allclose(np.asarray(angles[13]), 0.0, atol=1e-9)
+    out = homography.warp_rotation_grid(img, K, angles)
+    assert out.shape == (27, 32, 40)
+
+
+def test_warp_rotation_shifts_image():
+    """Small rotation about camera y ~ horizontal shift by fx * angle."""
+    img = np.zeros((64, 96), np.float32)
+    img[:, 48:52] = 255.0  # vertical stripe at x ~ 50
+    K = jnp.asarray(CameraConfig(fx=200, fy=200, cx=48, cy=32).K)
+    ang = 0.05
+    out = np.asarray(
+        homography.warp_rotation_grid(jnp.asarray(img), K, jnp.asarray([[0.0, ang, 0.0]]))
+    )[0]
+    col_mass = out.sum(axis=0)
+    shift = np.argmax(col_mass) - 50
+    assert abs(abs(shift) - 200 * ang) < 4  # ~10 px
+
+
+# ---------------------------------------------------------------- NMI scores
+
+
+def test_nmi_identical_beats_shuffled():
+    rng = np.random.default_rng(1)
+    img = rng.uniform(0, 255, (32, 32)).astype(np.float32)
+    shuffled = rng.permutation(img.reshape(-1)).reshape(32, 32)
+    synth = jnp.asarray(np.stack([img, shuffled]))
+    warp = jnp.asarray(img[None])
+    s = np.asarray(histogram_nmi.nmi_scores(synth, warp, use_pallas=False))
+    assert s[0, 0] > s[1, 0]
+    assert s[0, 0] > 0.9  # identical images: SUC -> 1
+
+
+def test_suc_formula_matches_manual():
+    rng = np.random.default_rng(2)
+    a = rng.integers(0, 256, (1, 16, 16)).astype(np.float32)
+    b = rng.integers(0, 256, (1, 16, 16)).astype(np.float32)
+    s = float(np.asarray(histogram_nmi.nmi_scores(jnp.asarray(a), jnp.asarray(b), use_pallas=False))[0, 0])
+
+    def entropy(x):
+        h = np.bincount(x.astype(int).reshape(-1), minlength=256) / x.size
+        h = h[h > 0]
+        return -(h * np.log2(h)).sum()
+
+    ha, hb = entropy(a), entropy(b)
+    joint = (a.astype(int) * 256 + b.astype(int)).reshape(-1)
+    hab = entropy_joint = None
+    hj = np.bincount(joint, minlength=65536) / joint.size
+    hj = hj[hj > 0]
+    hab = -(hj * np.log2(hj)).sum()
+    expected = 2.0 * (1.0 - hab / (ha + hb))
+    assert abs(s - expected) < 1e-4
+
+
+def test_enmi_metric():
+    rng = np.random.default_rng(3)
+    a = jnp.asarray(rng.integers(0, 256, (1, 16, 16)).astype(np.float32))
+    s = np.asarray(histogram_nmi.nmi_scores(a, a, metric="ENMI", use_pallas=False))
+    assert abs(s[0, 0] - 2.0) < 1e-4  # identical: (H+H)/H = 2
+
+
+def test_pallas_kernel_matches_reference_interpret():
+    """The Pallas joint-entropy kernel (interpreter mode on CPU) must agree
+    with the scatter-add reference."""
+    rng = np.random.default_rng(4)
+    S, R, P = 3, 4, histogram_nmi._CHUNK * 2
+    sb = jnp.asarray(rng.integers(0, 256, (S, P)), jnp.int32)
+    wb = jnp.asarray(rng.integers(0, 256, (R, P)), jnp.int32)
+    ref = np.asarray(
+        jnp.stack(
+            [
+                jnp.stack(
+                    [histogram_nmi.joint_entropy_reference(sb[s], wb[r], P) for r in range(R)]
+                )
+                for s in range(S)
+            ]
+        )
+    )
+    out = np.asarray(
+        histogram_nmi.joint_entropy_grid_pallas(sb, wb, P, interpret=True)
+    )
+    np.testing.assert_allclose(out, ref, atol=1e-3)
+
+
+def test_pallas_kernel_handles_padding():
+    rng = np.random.default_rng(5)
+    P = 1000  # not a chunk multiple
+    sb = jnp.asarray(rng.integers(0, 256, (1, P)), jnp.int32)
+    wb = jnp.asarray(rng.integers(0, 256, (1, P)), jnp.int32)
+    ref = float(histogram_nmi.joint_entropy_reference(sb[0], wb[0], P))
+    out = float(
+        histogram_nmi.joint_entropy_grid_pallas(
+            histogram_nmi.pad_pixels(sb), histogram_nmi.pad_pixels(wb), P, interpret=True
+        )[0, 0]
+    )
+    assert abs(out - ref) < 1e-3
+
+
+# ---------------------------------------------------------------- renderer
+
+
+def make_world(n=20000, seed=0):
+    """Textured 3-D point world with strong depth structure (depth variation
+    disambiguates rotation from translation in the NMI search)."""
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(-18, 18, n)
+    y = rng.uniform(-12, 12, n)
+    z = rng.uniform(8, 24, n) + 4.0 * np.sin(x * 0.7) * np.cos(y * 0.5)
+    pts = np.stack([x, y, z], axis=-1).astype(np.float32)
+    gray = (np.sin(pts[:, 0] * 2.1) * np.cos(pts[:, 1] * 1.7) * 100 + 128).clip(0, 255)
+    return render.RenderModel(points=jnp.asarray(pts), gray=jnp.asarray(gray.astype(np.float32)))
+
+
+CAM = CameraConfig(fx=120.0, fy=120.0, cx=80.0, cy=60.0, width=160, height=120)
+
+
+def test_render_depth_occlusion():
+    pts = jnp.asarray([[0.0, 0.0, 10.0], [0.05, 0.05, 5.0]])  # same pixel area, nearer wins
+    model = render.RenderModel(points=pts, gray=jnp.asarray([200.0, 50.0]))
+    img = render.render_pointcloud(
+        model, jnp.eye(4), jnp.asarray(CAM.K), 120, 160, 1.0, 30.0, point_size=3
+    )
+    img = np.asarray(img)
+    # both project near principal point; the nearer (gray 50) must win there
+    assert img[60, 80] == 50.0
+
+
+def test_render_background_empty():
+    model = render.RenderModel(points=jnp.asarray([[0.0, 0.0, -5.0]]), gray=jnp.asarray([100.0]))
+    img = np.asarray(
+        render.render_pointcloud(model, jnp.eye(4), jnp.asarray(CAM.K), 120, 160, 1.0, 30.0)
+    )
+    assert (img == 0).all()  # point behind camera -> nothing rendered
+
+
+def test_render_translation_grid_moves_image():
+    model = make_world()
+    offsets = jnp.asarray([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0]])
+    imgs = np.asarray(
+        render.render_translation_grid(
+            model, jnp.eye(4), jnp.asarray(CAM.K), offsets, 120, 160, 1.0, 30.0, 3
+        )
+    )
+    # camera moved +x => scene shifts -x: columns correlate at a negative lag
+    a, b = imgs[0], imgs[1]
+    best_lag, best_corr = 0, -1
+    for lag in range(-12, 13):
+        bb = np.roll(b, lag, axis=1)
+        c = np.corrcoef(a[:, 20:-20].ravel(), bb[:, 20:-20].ravel())[0, 1]
+        if c > best_corr:
+            best_corr, best_lag = c, lag
+    # camera moved +x => content shifts -x => realigning roll is +fx*dx/depth
+    expected = 120 * 1.0 / 15.0  # = 8 px
+    assert abs(best_lag - expected) < 3, (best_lag, expected)
+
+
+def test_mesh_to_points_sampling():
+    from orbslam2_nmi_tpu.io.model_loader import MeshModel
+
+    mesh = MeshModel(
+        vertices=np.array([[0, 0, 0], [2, 0, 0], [0, 2, 0]], np.float32),
+        uvs=np.array([[0, 0], [1, 0], [0, 1]], np.float32),
+        faces=np.array([[0, 1, 2]], np.int32),
+        texture_gray=np.full((4, 4), 99.0, np.float32),
+    )
+    pc = render.mesh_to_points(mesh, samples_per_unit_area=100.0)
+    assert len(pc.points) > 100
+    assert (pc.gray == 99.0).all()
+    # samples inside the triangle
+    assert (pc.points[:, 0] >= -1e-3).all() and (pc.points[:, 1] >= -1e-3).all()
+    assert ((pc.points[:, 0] + pc.points[:, 1]) <= 2.0 + 1e-3).all()
+
+
+# ---------------------------------------------------------------- search kernel
+
+
+def test_kernel_resize_halves_non_peripheral():
+    k = sk.SearchKernel(best_synth=(1, 1, 1), best_warp=(0, 1, 2))
+    k2 = k.resized()
+    assert k2.step_synth == (0.1, 0.1, 0.25)
+    # warp x best=0 (peripheral) keeps step; y halves; z best=2 peripheral keeps
+    assert k2.step_warp == (0.02, 0.01, 0.05)
+
+
+def test_kernel_collapse_below_min():
+    k = sk.SearchKernel(step_synth=(0.008, 0.2, 0.2), best_synth=(1, 1, 1), best_warp=(1, 1, 1))
+    k2 = k.resized()
+    assert k2.num_synth[0] == 1  # 0.004 < 0.005 min
+    assert k2.num_synth[1] == 3
+
+
+def test_is_middle():
+    k = sk.SearchKernel(best_synth=(1, 1, 1), best_warp=(1, 1, 1))
+    assert k.is_middle()
+    assert not sk.SearchKernel(best_synth=(0, 1, 1), best_warp=(1, 1, 1)).is_middle()
+
+
+def test_adaptive_threshold():
+    assert sk.adaptive_threshold(0.1, 2.0) == 0.1
+    assert abs(sk.adaptive_threshold(0.1, 10.0) - 0.05) < 1e-9
+    assert sk.adaptive_threshold(0.1, 100.0) == 0.05  # floored at half
+
+
+def test_drift_kernel_collapses_small_axes():
+    base = sk.SearchKernel()
+    k = sk.initial_kernel_for_drift(base, (1.0, 0.5, 0.001), (0.5, 0.0, 0.0))
+    assert k.num_synth == (3, 3, 1)  # z drift 0.001*0.02 < 0.005 min
+    assert k.num_warp[0] == 3 and k.num_warp[1] == 1 and k.num_warp[2] == 1
+    assert abs(k.step_synth[0] - 0.02) < 1e-9
+
+
+# ---------------------------------------------------------------- localizer e2e
+
+
+@pytest.fixture(scope="module")
+def localizer_setup():
+    model = make_world(40000, seed=7)
+    cfg = NMIConfig(
+        grid=NMIGridConfig(
+            synth_num=(3, 3, 3),
+            warp_num=(3, 3, 3),
+            synth_step=(0.3, 0.3, 0.3),
+            warp_step=(0.03, 0.03, 0.03),
+        ),
+        render_near=1.0,
+        render_far=30.0,
+        render_point_size=3.0,
+        # at 160x120 the 256^2-bin MI sampling bias inflates the unrelated-image
+        # baseline to ~0.22 (the reference's 0.1 assumes ~0.5 Mpix frames)
+        threshold=0.3,
+    )
+    loc = NMILocalizer(cfg, CAM, model)
+    T_true = np.eye(4, dtype=np.float32)
+    cam_img = np.asarray(
+        render.render_pointcloud(
+            model, jnp.asarray(T_true), jnp.asarray(CAM.K), CAM.height, CAM.width, 1.0, 30.0, 3
+        )
+    )
+    return loc, T_true, jnp.asarray(cam_img)
+
+
+def pose_error(Ta, Tb):
+    d = np.asarray(se3.se3_log(jnp.asarray(np.linalg.inv(Ta) @ Tb)))
+    return np.linalg.norm(d[:3]), np.linalg.norm(d[3:])
+
+
+def test_localizer_recovers_translation(localizer_setup):
+    loc, T_true, cam_img = localizer_setup
+    T_pert = T_true.copy()
+    T_pert[:3, 3] += np.array([0.3, 0.0, 0.0], np.float32)  # one grid step off
+    out = loc.relocalize_strategy(cam_img, T_pert, initializing=True)
+    t0, r0 = pose_error(T_true, T_pert)
+    t1, r1 = pose_error(T_true, out.Tcw)
+    assert out.relocalized
+    assert t1 < 0.6 * t0, (t0, t1)
+
+
+def test_localizer_recovers_rotation(localizer_setup):
+    """Rotation-only kernel (the drift-scaled sizing collapses translation axes
+    when translation drift is tiny, Tracking.cc:2013-2031): a one-grid-step
+    rotation error must snap back. With translation axes active, small
+    rotations can be aliased by translations (also true of the reference:
+    both warp the camera image with bilinear resampling while renders stay
+    crisp, so warp cells pay an interpolation penalty)."""
+    loc, T_true, cam_img = localizer_setup
+    dR = np.asarray(se3.so3_exp(jnp.asarray([0.0, 0.03, 0.0], jnp.float32)))
+    T_pert = T_true.copy()
+    T_pert[:3, :3] = dR @ T_pert[:3, :3]
+    # tiny translation drift, large rotation drift -> rotation-only kernel
+    out = loc.relocalize_strategy(
+        cam_img, T_pert, dist_since=(1e-4, 1e-4, 1e-4), rot_since=(1.5, 1.5, 1.5)
+    )
+    t0, r0 = pose_error(T_true, T_pert)
+    t1, r1 = pose_error(T_true, out.Tcw)
+    assert out.relocalized
+    assert r1 < 0.7 * r0, (r0, r1)
+
+
+def test_localizer_rejects_garbage(localizer_setup):
+    loc, T_true, _ = localizer_setup
+    rng = np.random.default_rng(9)
+    garbage = jnp.asarray(rng.uniform(0, 255, (CAM.height, CAM.width)).astype(np.float32))
+    out = loc.relocalize_strategy(garbage, T_true, initializing=True)
+    assert out.failed and not out.relocalized
+    np.testing.assert_array_equal(out.Tcw, T_true)  # pose reverted
