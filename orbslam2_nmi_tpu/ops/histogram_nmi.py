@@ -93,8 +93,13 @@ def _combine(Ha, Hb, Hab, metric):
 # ---------------------------------------------------------------------------
 
 
+# Mosaic requires block sublane/lane dims divisible by (8, 128); the pixel
+# chunk is therefore shaped [_CHUNK // 128, 128] (16 x 128 for CHUNK=2048).
+
+
 def _joint_entropy_kernel(n_chunks: int, n_valid: int, n_bins: int):
     inv_n = 1.0 / float(n_valid)
+    rows = _CHUNK // 128
 
     def kernel(synth_ref, warp_ref, out_ref, acc_ref):
         c = pl.program_id(2)
@@ -103,24 +108,28 @@ def _joint_entropy_kernel(n_chunks: int, n_valid: int, n_bins: int):
         def _():
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
-        a = synth_ref[0, :]  # [CHUNK] int32 (pad = -1 -> zero one-hot row)
-        b = warp_ref[0, :]
-        iota = jax.lax.broadcasted_iota(jnp.int32, (a.shape[0], n_bins), 1)
-        a_oh = (a[:, None] == iota).astype(jnp.bfloat16)
-        b_oh = (b[:, None] == iota).astype(jnp.bfloat16)
-        # J += A^T B on the MXU: contract the pixel dimension
-        acc_ref[:] += jax.lax.dot_general(
-            a_oh,
-            b_oh,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        a3 = synth_ref[0]  # [rows, 128] int32 (pad = -1 -> all-zero one-hot)
+        b3 = warp_ref[0]
+        # bin ids along sublanes: one-hot transposed [n_bins, 128] per row.
+        bins_col = jax.lax.broadcasted_iota(jnp.int32, (n_bins, 128), 0)
+        acc = acc_ref[:]
+        for r in range(rows):
+            a_ohT = (a3[r : r + 1, :] == bins_col).astype(jnp.bfloat16)  # [B, 128]
+            b_ohT = (b3[r : r + 1, :] == bins_col).astype(jnp.bfloat16)
+            # J[bin_a, bin_b] += sum_pix a_ohT[bin_a, pix] * b_ohT[bin_b, pix]
+            acc = acc + jax.lax.dot_general(
+                a_ohT,
+                b_ohT,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        acc_ref[:] = acc
 
         @pl.when(c == n_chunks - 1)
         def _():
             p = acc_ref[:] * inv_n
             plogp = jnp.where(p > 0, p * (jnp.log(jnp.where(p > 0, p, 1.0)) * 1.4426950408889634), 0.0)
-            out_ref[0, 0] = -jnp.sum(plogp)
+            out_ref[0, 0] = jnp.broadcast_to(-jnp.sum(plogp), (8, 128))
 
     return kernel
 
@@ -133,30 +142,43 @@ def joint_entropy_grid_pallas(
     n_bins: int = N_BINS,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """All-pairs joint entropies [S, R] in one Pallas dispatch."""
+    """All-pairs joint entropies [S, R] in one Pallas dispatch.
+
+    Layout notes for Mosaic: pixel chunks are presented as [CHUNK/128, 128]
+    blocks (sublane x lane aligned); each (s, r) cell's scalar entropy is
+    written as an (8, 128) broadcast tile and sliced back to [S, R] outside —
+    scalar VMEM outputs don't meet TPU tiling constraints.
+    """
     S, P = synth_bins.shape
     R = warp_bins.shape[0]
     assert P % _CHUNK == 0, f"pad pixel dim to a multiple of {_CHUNK}"
     n_chunks = P // _CHUNK
+    rows = _CHUNK // 128
+
+    synth3 = synth_bins.reshape(S, P // 128, 128)
+    warp3 = warp_bins.reshape(R, P // 128, 128)
 
     grid = (S, R, n_chunks)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _joint_entropy_kernel(n_chunks, n_valid, n_bins),
-        out_shape=jax.ShapeDtypeStruct((S, R), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((S, R, 8, 128), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, _CHUNK), lambda s, r, c: (s, c), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _CHUNK), lambda s, r, c: (r, c), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, 128), lambda s, r, c: (s, c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, 128), lambda s, r, c: (r, c, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1), lambda s, r, c: (s, r), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (1, 1, 8, 128), lambda s, r, c: (s, r, 0, 0), memory_space=pltpu.VMEM
+        ),
         scratch_shapes=[pltpu.VMEM((n_bins, n_bins), jnp.float32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * S * R * P * n_bins,
-            bytes_accessed=(S + R) * P * 4 + S * R * 4,
+            bytes_accessed=(S + R) * P * 4 + S * R * 4 * 1024,
             transcendentals=S * R * n_bins * n_bins,
         ),
-    )(synth_bins, warp_bins)
+    )(synth3, warp3)
+    return out[:, :, 0, 0]
 
 
 def pad_pixels(bins: jnp.ndarray, chunk: int = _CHUNK) -> jnp.ndarray:

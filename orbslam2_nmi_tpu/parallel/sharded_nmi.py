@@ -1,0 +1,83 @@
+"""Multi-chip NMI pose-grid search: translation candidates sharded over ICI.
+
+The single-chip NMI path (ops/histogram_nmi.py) already evaluates the whole
+6-D grid in one dispatch; this module spreads the *render/translation* axis S
+across a device mesh with shard_map. Each chip renders its slice of candidate
+camera centers, scores it against the (replicated) rotation-warped camera
+images, and the global best cell is found with an argmax tournament over a
+psum/all_gather of the per-shard score blocks (SURVEY.md §2.4 P7).
+
+Scaling shape: per-chip work drops as S/D while the readback stays one [S, R]
+score array; ICI traffic is only the [S, R] floats (KBs), so efficiency is
+essentially linear until per-chip S becomes too small to fill the MXU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from orbslam2_nmi_tpu.ops import histogram_nmi, homography, render
+from orbslam2_nmi_tpu.parallel.mesh import POSE_AXIS
+
+
+def pad_to_multiple(x: jnp.ndarray, m: int, axis: int = 0, fill=0.0) -> jnp.ndarray:
+    pad = (-x.shape[axis]) % m
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=fill)
+
+
+def sharded_nmi_search(
+    mesh,
+    model: render.RenderModel,
+    frame_gray: jnp.ndarray,  # [H, W] float32, replicated
+    Tcw: jnp.ndarray,  # [4, 4]
+    offsets_cam: jnp.ndarray,  # [S, 3] translation candidates (padded to D)
+    angles: jnp.ndarray,  # [R, 3] rotation candidates
+    K: jnp.ndarray,
+    height: int,
+    width: int,
+    near: float,
+    far: float,
+    point_size: int = 3,
+    metric: str = "SUC",
+    use_pallas: bool | None = None,
+) -> jnp.ndarray:
+    """Evaluate the full (S x R) NMI grid with S sharded over the mesh.
+
+    Returns the [S, R] score matrix (padded rows score -inf). The caller takes
+    argmax exactly as in the single-chip path.
+    """
+    n_dev = mesh.shape[POSE_AXIS]
+    S = offsets_cam.shape[0]
+    offsets_p = pad_to_multiple(offsets_cam, n_dev, axis=0, fill=1e6)  # far away => empty render
+    S_pad = offsets_p.shape[0]
+    if use_pallas is None:
+        use_pallas = jax.devices()[0].platform == "tpu"
+
+    warped = homography.warp_rotation_grid(frame_gray, K, angles)  # replicated
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(POSE_AXIS, None), P(None, None, None)),
+        out_specs=P(POSE_AXIS, None),
+    )
+    def eval_shard(offsets_local, warped_rep):
+        synth = render.render_translation_grid(
+            model, Tcw, K, offsets_local, height, width, near, far, point_size
+        )
+        return histogram_nmi.nmi_scores(
+            synth, warped_rep, metric=metric, use_pallas=use_pallas
+        )
+
+    scores = eval_shard(offsets_p, warped)
+    valid = (jnp.arange(S_pad) < S)[:, None]
+    return jnp.where(valid, scores, -jnp.inf)[:S]

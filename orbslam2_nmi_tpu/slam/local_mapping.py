@@ -1,0 +1,474 @@
+"""Local mapping: map-point culling, triangulation, fusion, local BA, KF culling.
+
+The step-interleaved equivalent of the reference's LocalMapping thread
+(src/LocalMapping.cc:50-115 Run loop). Each new keyframe is processed
+synchronously between tracking steps — the reference's queue/mutex protocol
+(InsertKeyFrame :117, stop/finish flags LocalMapping.h:58-71) becomes a plain
+call, preserving the architectural effect that tracking never waits on an
+*in-flight* BA (BA runs between frames, never concurrently with one).
+
+Parity notes:
+  * recent-point culling ratios and windows: LocalMapping.cc:173-204
+  * triangulation vs top-20 covisible KFs with baseline/median-depth,
+    epipolar, parallax, reprojection and scale-consistency gates:
+    LocalMapping.cc:210 + ORBmatcher::SearchForTriangulation (:690)
+  * neighbor fuse: LocalMapping.cc SearchInNeighbors
+  * local BA with NMI-relocalized keyframes FIXED: Optimizer.cc:548 (FORK)
+  * KF culling (>=90% redundant), NMI KFs immune: LocalMapping.cc:696 (FORK)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from orbslam2_nmi_tpu.config import SystemConfig
+from orbslam2_nmi_tpu.ops import matching, triangulate
+from orbslam2_nmi_tpu.slam.map_store import MapStore
+from orbslam2_nmi_tpu.solvers import local_ba
+
+
+def _next_pow2(n: int, lo: int = 64) -> int:
+    v = lo
+    while v < n:
+        v *= 2
+    return v
+
+
+class LocalMapper:
+    def __init__(self, cfg: SystemConfig, map_store: MapStore, log_fn=None):
+        self.cfg = cfg
+        self.map = map_store
+        self.log = log_fn or (lambda s: None)
+        self.K = cfg.camera.K
+        n_lv = cfg.orb.n_levels
+        sf = cfg.orb.scale_factor
+        self.inv_sigma2 = (1.0 / (sf ** np.arange(n_lv)) ** 2).astype(np.float32)
+        self.recent_points: list[tuple[int, int]] = []  # (mp, created_at_kf)
+        self.enable_kf_culling = True
+
+    # ------------------------------------------------------------- pipeline
+
+    def process_keyframe(self, k: int):
+        self._refresh_point_stats(k)
+        self._cull_recent_points(k)
+        self._create_new_map_points(k)
+        self._fuse_neighbors(k)
+        if self.map.n_keyframes > 2:
+            self.local_bundle_adjust(k)
+        if self.enable_kf_culling:
+            self._cull_keyframes(k)
+
+    def _refresh_point_stats(self, k: int):
+        for f in np.nonzero(self.map.kf_mp_idx[k] >= 0)[0]:
+            p = int(self.map.kf_mp_idx[k, f])
+            self.map.update_point_stats(
+                p, self.K, self.cfg.orb.scale_factor, self.cfg.orb.n_levels
+            )
+
+    # ------------------------------------------------------------- culling
+
+    def _cull_recent_points(self, k: int):
+        """MapPointCulling (LocalMapping.cc:173-204)."""
+        keep = []
+        for p, born in self.recent_points:
+            if not self.map.mp_valid[p]:
+                continue
+            ratio = self.map.mp_found[p] / max(self.map.mp_visible[p], 1)
+            age = k - born
+            if ratio < 0.25:
+                self.map.remove_map_point(p)
+            elif age >= 2 and self.map.mp_obs_n[p] <= 2:
+                self.map.remove_map_point(p)
+            elif age >= 3:
+                pass  # graduated — stop tracking
+            else:
+                keep.append((p, born))
+        self.recent_points = keep
+
+    def _cull_keyframes(self, k: int):
+        """KeyFrameCulling (LocalMapping.cc:696): a covisible KF is redundant if
+        >= 90% of its points are seen by >= 3 other KFs at same-or-finer scale.
+        FORK rule: never cull NMI-relocalized keyframes."""
+        for kc in self.map.covisible_keyframes(k):
+            kc = int(kc)
+            if kc == 0 or self.map.kf_nmi_reloc[kc]:
+                continue
+            fs = np.nonzero(self.map.kf_mp_idx[kc] >= 0)[0]
+            if len(fs) < 20:
+                continue
+            n_redundant = 0
+            for f in fs:
+                p = int(self.map.kf_mp_idx[kc, f])
+                if not self.map.mp_valid[p]:
+                    continue
+                lvl = self.map.kf_feat_octave[kc, f]
+                n = self.map.mp_obs_n[p]
+                oks = 0
+                for kk, ff in zip(self.map.mp_obs_kf[p, :n], self.map.mp_obs_feat[p, :n]):
+                    if kk != kc and self.map.kf_feat_octave[kk, ff] <= lvl + 1:
+                        oks += 1
+                if oks >= 3:
+                    n_redundant += 1
+            if n_redundant >= 0.9 * len(fs):
+                self.map.remove_keyframe(kc)
+                self.log(f"culled redundant keyframe {kc}")
+
+    # ------------------------------------------------------- new map points
+
+    def _create_new_map_points(self, k: int):
+        """CreateNewMapPoints (LocalMapping.cc:210)."""
+        neighbors = self.map.best_covisible(k, 20)
+        ck = self._center(k)
+        created = 0
+        for kn in neighbors:
+            kn = int(kn)
+            baseline = float(np.linalg.norm(self._center(kn) - ck))
+            med_depth = self._median_depth(kn)
+            if med_depth <= 0 or baseline / med_depth < 0.01:
+                continue
+            created += self._triangulate_pair(k, kn)
+        if created:
+            self.log(f"KF {k}: created {created} map points")
+
+    def _triangulate_pair(self, k1: int, k2: int) -> int:
+        m = self.map
+        free1 = m.kf_feat_valid[k1] & (m.kf_mp_idx[k1] < 0)
+        free2 = m.kf_feat_valid[k2] & (m.kf_mp_idx[k2] < 0)
+        if free1.sum() < 5 or free2.sum() < 5:
+            return 0
+        # epipolar-constrained candidate mask (SearchForTriangulation):
+        F12 = self._fundamental(k1, k2)
+        xy1 = m.kf_feat_xy[k1]
+        xy2 = m.kf_feat_xy[k2]
+        ones1 = np.concatenate([xy1, np.ones((len(xy1), 1), np.float32)], axis=1)
+        # x1^T F12 x2 = 0 => epipolar line of x1 in image 2 is l2 = F12^T x1
+        lines2 = ones1 @ F12  # [F1, 3]
+        a, b, c = lines2[:, 0:1], lines2[:, 1:2], lines2[:, 2:3]
+        d = np.abs(a * xy2[:, 0][None, :] + b * xy2[:, 1][None, :] + c) / np.sqrt(
+            np.maximum(a * a + b * b, 1e-12)
+        )  # [F1, F2]
+        sigma2 = (1.0 / self.inv_sigma2)[m.kf_feat_octave[k2]]
+        epi_ok = d < 3.84 * np.sqrt(sigma2)[None, :]
+
+        idx, _ = matching.match_descriptors(
+            jnp.asarray(m.kf_feat_desc[k1]),
+            jnp.asarray(free1),
+            jnp.asarray(m.kf_feat_desc[k2]),
+            jnp.asarray(free2),
+            spatial_mask=jnp.asarray(epi_ok),
+            max_dist=matching.TH_LOW,
+            apply_ratio=False,
+        )
+        idx = np.asarray(idx)
+        f1s = np.nonzero(idx >= 0)[0]
+        if len(f1s) == 0:
+            return 0
+        f2s = idx[f1s]
+        tri = triangulate.triangulate_and_gate(
+            jnp.asarray(self.K),
+            jnp.asarray(m.kf_Tcw[k1]),
+            jnp.asarray(m.kf_Tcw[k2]),
+            jnp.asarray(xy1[f1s]),
+            jnp.asarray(xy2[f2s]),
+            jnp.asarray(self.inv_sigma2[m.kf_feat_octave[k1, f1s]]),
+            jnp.asarray(self.inv_sigma2[m.kf_feat_octave[k2, f2s]]),
+            jnp.ones(len(f1s), bool),
+        )
+        ok = np.array(tri.valid)  # writable copy
+        pts = np.asarray(tri.points_w)
+        # scale consistency (LocalMapping.cc ratioDist vs ratioOctave, factor 1.5)
+        d1 = np.linalg.norm(pts - self._center(k1), axis=-1)
+        d2 = np.linalg.norm(pts - self._center(k2), axis=-1)
+        ratio_dist = d2 / np.maximum(d1, 1e-9)
+        sf = self.cfg.orb.scale_factor
+        ratio_oct = sf ** (
+            m.kf_feat_octave[k1, f1s].astype(np.float32)
+            - m.kf_feat_octave[k2, f2s].astype(np.float32)
+        )
+        ok &= (ratio_dist < ratio_oct * sf * 1.5) & (ratio_dist * sf * 1.5 > ratio_oct)
+        n_new = 0
+        for i in np.nonzero(ok)[0]:
+            f1, f2 = int(f1s[i]), int(f2s[i])
+            if m.kf_mp_idx[k1, f1] >= 0 or m.kf_mp_idx[k2, f2] >= 0:
+                continue
+            p = m.add_map_point(pts[i], m.kf_feat_desc[k1, f1], k1, np.zeros(3, np.float32))
+            m.add_observation(k1, f1, p)
+            m.add_observation(k2, f2, p)
+            m.update_point_stats(p, self.K, sf, self.cfg.orb.n_levels)
+            self.recent_points.append((p, k1))
+            n_new += 1
+        return n_new
+
+    # ----------------------------------------------------------------- fuse
+
+    def _fuse_neighbors(self, k: int):
+        """SearchInNeighbors: project this KF's points into neighbors (and back)
+        and merge duplicates."""
+        neighbors = [int(x) for x in self.map.best_covisible(k, 10)]
+        for kn in neighbors:
+            self._fuse_into(k, kn)
+            self._fuse_into(kn, k)
+        self._refresh_point_stats(k)
+
+    def _fuse_into(self, k_src: int, k_dst: int, radius: float = 3.0):
+        m = self.map
+        src_ps = np.unique(m.kf_mp_idx[k_src])
+        src_ps = src_ps[src_ps >= 0]
+        src_ps = src_ps[m.mp_valid[src_ps]]
+        if len(src_ps) == 0:
+            return
+        Tcw = m.kf_Tcw[k_dst]
+        pts = m.mp_pos[src_ps]
+        pc = (Tcw[:3, :3] @ pts.T).T + Tcw[:3, 3]
+        z = pc[:, 2]
+        u = self.K[0, 0] * pc[:, 0] / np.where(np.abs(z) > 1e-9, z, 1e-9) + self.K[0, 2]
+        v = self.K[1, 1] * pc[:, 1] / np.where(np.abs(z) > 1e-9, z, 1e-9) + self.K[1, 2]
+        vis = (
+            (z > 0)
+            & (u >= 0)
+            & (u < self.cfg.camera.width)
+            & (v >= 0)
+            & (v < self.cfg.camera.height)
+        )
+        src_ps = src_ps[vis]
+        if len(src_ps) == 0:
+            return
+        proj = np.stack([u[vis], v[vis]], axis=-1)
+        sm = matching.window_mask(
+            jnp.asarray(proj.astype(np.float32)),
+            jnp.asarray(m.kf_feat_xy[k_dst]),
+            radius,
+        )
+        idx, _ = matching.match_descriptors(
+            jnp.asarray(m.mp_desc[src_ps]),
+            jnp.ones(len(src_ps), bool),
+            jnp.asarray(m.kf_feat_desc[k_dst]),
+            jnp.asarray(m.kf_feat_valid[k_dst]),
+            spatial_mask=sm,
+            max_dist=matching.TH_LOW,
+            apply_ratio=False,
+        )
+        idx = np.asarray(idx)
+        for i in np.nonzero(idx >= 0)[0]:
+            p = int(src_ps[i])
+            f = int(idx[i])
+            existing = int(m.kf_mp_idx[k_dst, f])
+            if existing < 0:
+                m.add_observation(k_dst, f, p)
+            elif existing != p and m.mp_valid[existing]:
+                # keep the better-observed point (MapPoint::Replace semantics)
+                if m.mp_obs_n[existing] >= m.mp_obs_n[p]:
+                    m.replace_map_point(p, existing)
+                else:
+                    m.replace_map_point(existing, p)
+
+    # ------------------------------------------------------------------- BA
+
+    def local_bundle_adjust(self, k: int):
+        """Optimizer::LocalBundleAdjustment (Optimizer.cc:472): covisible KFs
+        free (NMI-anchored + KF 0 fixed), observer-only KFs fixed."""
+        m = self.map
+        local = [k] + [int(x) for x in self.map.covisible_keyframes(k)]
+        local = local[:24]
+        pts = np.unique(m.kf_mp_idx[local])
+        pts = pts[pts >= 0]
+        pts = pts[m.mp_valid[pts]]
+        if len(pts) < 10:
+            return
+        # fixed observers: KFs seeing these points but not in `local`
+        observers = set()
+        for p in pts:
+            n = m.mp_obs_n[p]
+            observers.update(int(x) for x in m.mp_obs_kf[p, :n])
+        fixed_kfs = sorted(observers - set(local))
+        cams = local + fixed_kfs
+        cam_pos = {kf: i for i, kf in enumerate(cams)}
+        pt_pos = {p: i for i, p in enumerate(pts)}
+
+        obs_cam, obs_pt, obs_uv, obs_w = [], [], [], []
+        for p in pts:
+            n = m.mp_obs_n[p]
+            for kk, ff in zip(m.mp_obs_kf[p, :n], m.mp_obs_feat[p, :n]):
+                if kk < 0 or not m.kf_valid[kk]:
+                    continue
+                obs_cam.append(cam_pos[int(kk)])
+                obs_pt.append(pt_pos[int(p)])
+                obs_uv.append(m.kf_feat_xy[kk, ff])
+                obs_w.append(self.inv_sigma2[m.kf_feat_octave[kk, ff]])
+        O = len(obs_cam)
+        if O < 20:
+            return
+
+        C = _next_pow2(len(cams), 8)
+        P = _next_pow2(len(pts), 256)
+        Ob = _next_pow2(O, 1024)
+        fixed = np.zeros(C, bool)
+        fixed[len(cams):] = True
+        for i, kf in enumerate(cams):
+            if kf in fixed_kfs or kf == 0 or m.kf_nmi_reloc[kf]:
+                fixed[i] = True
+        cam_valid = np.zeros(C, bool)
+        cam_valid[: len(cams)] = True
+        pts_valid = np.zeros(P, bool)
+        pts_valid[: len(pts)] = True
+
+        cam_Tcw = np.tile(np.eye(4, dtype=np.float32), (C, 1, 1))
+        cam_Tcw[: len(cams)] = m.kf_Tcw[cams]
+        pts_w = np.zeros((P, 3), np.float32)
+        pts_w[: len(pts)] = m.mp_pos[pts]
+        oc = np.zeros(Ob, np.int32)
+        op = np.zeros(Ob, np.int32)
+        ouv = np.zeros((Ob, 2), np.float32)
+        ow = np.ones(Ob, np.float32)
+        ovalid = np.zeros(Ob, bool)
+        oc[:O] = obs_cam
+        op[:O] = obs_pt
+        ouv[:O] = obs_uv
+        ow[:O] = obs_w
+        ovalid[:O] = True
+
+        prob = local_ba.BAProblem(
+            K=jnp.asarray(self.K),
+            cam_Tcw=jnp.asarray(cam_Tcw),
+            cam_fixed=jnp.asarray(fixed),
+            cam_valid=jnp.asarray(cam_valid),
+            pts_w=jnp.asarray(pts_w),
+            pts_valid=jnp.asarray(pts_valid),
+            obs_cam=jnp.asarray(oc),
+            obs_pt=jnp.asarray(op),
+            obs_uv=jnp.asarray(ouv),
+            obs_inv_sigma2=jnp.asarray(ow),
+            obs_valid=jnp.asarray(ovalid),
+        )
+        res = local_ba.bundle_adjust(
+            prob,
+            iters1=self.cfg.tracking.local_ba_iters1,
+            iters2=self.cfg.tracking.local_ba_iters2,
+        )
+        new_cams = np.asarray(res.cam_Tcw)
+        new_pts = np.asarray(res.pts_w)
+        inlier = np.asarray(res.obs_inlier)
+        for i, kf in enumerate(cams):
+            if not fixed[i]:
+                m.kf_Tcw[kf] = new_cams[i]
+        m.mp_pos[pts] = new_pts[: len(pts)]
+        # drop outlier observations (Optimizer.cc:725 recollection)
+        inv_cam = {i: kf for i, kf in enumerate(cams)}
+        dropped = 0
+        for j in np.nonzero(~inlier[:O])[0]:
+            kf = inv_cam[int(oc[j])]
+            p = int(pts[op[j]])
+            n = m.mp_obs_n[p]
+            for kk, ff in zip(m.mp_obs_kf[p, :n], m.mp_obs_feat[p, :n]):
+                if int(kk) == kf:
+                    m.remove_observation(int(kk), int(ff))
+                    dropped += 1
+                    break
+        self.log(
+            f"local BA: {len(local)} KFs ({int(fixed[:len(cams)].sum())} fixed), "
+            f"{len(pts)} pts, {O} obs, dropped {dropped}"
+        )
+
+    def global_ba(self, iters: int = 20):
+        """GlobalBundleAdjustemnt (Optimizer.cc:43) with NMI-fixed anchors
+        (Optimizer.cc:82 FORK). Used at NMI initialization and after loops."""
+        m = self.map
+        kfs = [int(x) for x in m.valid_keyframe_indices()]
+        pts = m.valid_point_indices()
+        if len(kfs) < 1 or len(pts) < 10:
+            return
+        cam_pos = {kf: i for i, kf in enumerate(kfs)}
+        pt_pos = {p: i for i, p in enumerate(pts)}
+        obs_cam, obs_pt, obs_uv, obs_w = [], [], [], []
+        for p in pts:
+            n = m.mp_obs_n[p]
+            for kk, ff in zip(m.mp_obs_kf[p, :n], m.mp_obs_feat[p, :n]):
+                if kk < 0 or not m.kf_valid[kk]:
+                    continue
+                obs_cam.append(cam_pos[int(kk)])
+                obs_pt.append(pt_pos[int(p)])
+                obs_uv.append(m.kf_feat_xy[kk, ff])
+                obs_w.append(self.inv_sigma2[m.kf_feat_octave[kk, ff]])
+        O = len(obs_cam)
+        if O < 20:
+            return
+        C = _next_pow2(len(kfs), 8)
+        P = _next_pow2(len(pts), 256)
+        Ob = _next_pow2(O, 1024)
+        fixed = np.zeros(C, bool)
+        for i, kf in enumerate(kfs):
+            if kf == 0 or m.kf_nmi_reloc[kf]:
+                fixed[i] = True
+        cam_valid = np.zeros(C, bool)
+        cam_valid[: len(kfs)] = True
+        pts_valid = np.zeros(P, bool)
+        pts_valid[: len(pts)] = True
+        cam_Tcw = np.tile(np.eye(4, dtype=np.float32), (C, 1, 1))
+        cam_Tcw[: len(kfs)] = m.kf_Tcw[kfs]
+        pts_w = np.zeros((P, 3), np.float32)
+        pts_w[: len(pts)] = m.mp_pos[pts]
+        oc = np.zeros(Ob, np.int32)
+        op = np.zeros(Ob, np.int32)
+        ouv = np.zeros((Ob, 2), np.float32)
+        ow = np.ones(Ob, np.float32)
+        ovalid = np.zeros(Ob, bool)
+        oc[:O] = obs_cam
+        op[:O] = obs_pt
+        ouv[:O] = obs_uv
+        ow[:O] = obs_w
+        ovalid[:O] = True
+        prob = local_ba.BAProblem(
+            K=jnp.asarray(self.K),
+            cam_Tcw=jnp.asarray(cam_Tcw),
+            cam_fixed=jnp.asarray(fixed),
+            cam_valid=jnp.asarray(cam_valid),
+            pts_w=jnp.asarray(pts_w),
+            pts_valid=jnp.asarray(pts_valid),
+            obs_cam=jnp.asarray(oc),
+            obs_pt=jnp.asarray(op),
+            obs_uv=jnp.asarray(ouv),
+            obs_inv_sigma2=jnp.asarray(ow),
+            obs_valid=jnp.asarray(ovalid),
+        )
+        res = local_ba.bundle_adjust(prob, iters1=iters // 2, iters2=iters - iters // 2)
+        new_cams = np.asarray(res.cam_Tcw)
+        new_pts = np.asarray(res.pts_w)
+        for i, kf in enumerate(kfs):
+            if not fixed[i]:
+                m.kf_Tcw[kf] = new_cams[i]
+        m.mp_pos[pts] = new_pts[: len(pts)]
+        self.log(f"global BA: {len(kfs)} KFs, {len(pts)} pts, {O} obs")
+
+    # ----------------------------------------------------------------- utils
+
+    def _center(self, k: int) -> np.ndarray:
+        T = self.map.kf_Tcw[k]
+        return -T[:3, :3].T @ T[:3, 3]
+
+    def _median_depth(self, k: int) -> float:
+        """KeyFrame::ComputeSceneMedianDepth (KeyFrame.cc:641)."""
+        m = self.map
+        ps = m.kf_mp_idx[k]
+        ps = ps[ps >= 0]
+        ps = ps[m.mp_valid[ps]]
+        if len(ps) == 0:
+            return -1.0
+        T = m.kf_Tcw[k]
+        z = (m.mp_pos[ps] @ T[2, :3]) + T[2, 3]
+        return float(np.median(z))
+
+    def _fundamental(self, k1: int, k2: int) -> np.ndarray:
+        """F12 = K^-T [t]x R K^-1 from relative pose (ORBmatcher epipolar)."""
+        T1 = self.map.kf_Tcw[k1]
+        T2 = self.map.kf_Tcw[k2]
+        R1, t1 = T1[:3, :3], T1[:3, 3]
+        R2, t2 = T2[:3, :3], T2[:3, 3]
+        R12 = R1 @ R2.T
+        t12 = -R12 @ t2 + t1
+        tx = np.array(
+            [[0, -t12[2], t12[1]], [t12[2], 0, -t12[0]], [-t12[1], t12[0], 0]],
+            np.float32,
+        )
+        Kinv = np.linalg.inv(self.K)
+        return Kinv.T @ tx @ R12 @ Kinv

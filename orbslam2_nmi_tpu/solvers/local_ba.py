@@ -108,8 +108,15 @@ def _spd_inv3(M: jnp.ndarray) -> jnp.ndarray:
     return inv / det[..., None, None]
 
 
-def _ba_iteration(K, cam_Tcw, pts_w, prob: BAProblem, active, lam, use_huber):
-    """One damped-GN step. Returns (new_cams, new_pts, chi2_total_old)."""
+def _ba_iteration(K, cam_Tcw, pts_w, prob: BAProblem, active, lam, use_huber, allreduce=None):
+    """One damped-GN step. Returns (new_cams, new_pts, chi2_total_old).
+
+    `allreduce` (optional) sums block contributions across an observation-
+    sharded mesh axis (jax.lax.psum inside shard_map) — the distributed Schur
+    BA of SURVEY.md §2.4 P7: each chip reduces its observation shard, the
+    normal equations are psum-reduced, and the (small) reduced camera system
+    is solved replicated on every chip.
+    """
     C = cam_Tcw.shape[0]
     P = pts_w.shape[0]
     r, Jc, Jp, z = _residuals(K, cam_Tcw, pts_w, prob.obs_cam, prob.obs_pt, prob.obs_uv)
@@ -145,6 +152,13 @@ def _ba_iteration(K, cam_Tcw, pts_w, prob: BAProblem, active, lam, use_huber):
         prob.obs_cam * P + prob.obs_pt,
         num_segments=C * P,
     ).reshape(C, P, 6, 3)
+
+    if allreduce is not None:
+        Hcc = allreduce(Hcc)
+        gc = allreduce(gc)
+        Hpp = allreduce(Hpp)
+        gp = allreduce(gp)
+        Hcp_blocks = allreduce(Hcp_blocks)
 
     # LM damping
     lamI6 = lam * jnp.eye(6)

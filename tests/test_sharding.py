@@ -1,0 +1,75 @@
+"""Multi-device tests on the virtual 8-device CPU mesh (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from orbslam2_nmi_tpu.ops import histogram_nmi, homography, render
+from orbslam2_nmi_tpu.parallel import mesh as mesh_lib
+from orbslam2_nmi_tpu.parallel import sharded_ba, sharded_nmi
+from orbslam2_nmi_tpu.solvers import local_ba
+
+from tests.test_ba import make_ba_problem, reproj_rmse, K
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, "conftest must force 8 virtual cpu devices"
+    return mesh_lib.make_mesh(8)
+
+
+def test_sharded_ba_matches_single_device(mesh8):
+    prob, cams_true, _ = make_ba_problem(seed=4)
+    res_single = local_ba.bundle_adjust(prob)
+    res_shard = sharded_ba.sharded_bundle_adjust(mesh8, prob)
+    # same convergence quality (not bit-equal: psum reassociation)
+    r1 = reproj_rmse(K, res_single.cam_Tcw, res_single.pts_w, prob)
+    r2 = reproj_rmse(K, res_shard.cam_Tcw, res_shard.pts_w, prob)
+    assert r2 < max(2 * r1, 0.05), (r1, r2)
+    np.testing.assert_allclose(
+        np.asarray(res_shard.cam_Tcw), np.asarray(res_single.cam_Tcw), atol=5e-3
+    )
+
+
+def test_sharded_ba_fixed_cameras_pinned(mesh8):
+    prob, _, _ = make_ba_problem(seed=5)
+    res = sharded_ba.sharded_bundle_adjust(mesh8, prob)
+    np.testing.assert_array_equal(np.asarray(res.cam_Tcw[:2]), np.asarray(prob.cam_Tcw[:2]))
+
+
+def test_sharded_nmi_matches_single_device(mesh8):
+    rng = np.random.default_rng(0)
+    n = 30000
+    pts = np.stack(
+        [rng.uniform(-15, 15, n), rng.uniform(-10, 10, n), rng.uniform(8, 20, n)], -1
+    ).astype(np.float32)
+    gray = ((np.floor(pts[:, 0]) * 37 + np.floor(pts[:, 1]) * 91) % 256).astype(np.float32)
+    model = render.RenderModel(points=jnp.asarray(pts), gray=jnp.asarray(gray))
+    Kc = jnp.asarray(np.array([[120.0, 0, 80], [0, 120.0, 60], [0, 0, 1]], np.float32))
+    Tcw = jnp.eye(4)
+    offsets = render.translation_grid_offsets((3, 3, 3), (0.3, 0.3, 0.3))
+    angles = homography.rotation_grid_angles((3, 3, 3), (0.03, 0.03, 0.03))
+    frame = render.render_pointcloud(model, Tcw, Kc, 120, 160, 1.0, 30.0, 3)
+
+    mesh = mesh_lib.make_mesh(8)
+    scores_sharded = sharded_nmi.sharded_nmi_search(
+        mesh, model, frame, Tcw, offsets, angles, Kc, 120, 160, 1.0, 30.0,
+        use_pallas=False,
+    )
+    # single-device reference
+    synth = render.render_translation_grid(model, Tcw, Kc, offsets, 120, 160, 1.0, 30.0, 3)
+    warped = homography.warp_rotation_grid(frame, Kc, angles)
+    scores_ref = histogram_nmi.nmi_scores(synth, warped, use_pallas=False)
+    np.testing.assert_allclose(
+        np.asarray(scores_sharded), np.asarray(scores_ref), atol=1e-4
+    )
+    # and the best cell is the aligned center
+    assert int(np.argmax(np.asarray(scores_sharded))) == 13 * 27 + 13
+
+
+def test_pad_to_multiple():
+    x = jnp.ones((5, 3))
+    y = sharded_nmi.pad_to_multiple(x, 8, axis=0, fill=7.0)
+    assert y.shape == (8, 3)
+    assert float(y[5, 0]) == 7.0

@@ -1,0 +1,104 @@
+"""End-to-end SLAM replay on a synthetic world with exact ground truth.
+
+This is the analogue of the reference's dataset-replay evaluation
+(SURVEY.md §4): mono tracking + local mapping on rendered frames, ATE-RMSE
+bounded against the generating trajectory.
+"""
+
+import numpy as np
+import pytest
+
+from orbslam2_nmi_tpu.config import CameraConfig, NMIConfig, ORBConfig, SystemConfig, TrackingConfig
+from orbslam2_nmi_tpu.io.synthetic import SyntheticWorld
+from orbslam2_nmi_tpu.io.trajectory import ate_rmse
+from orbslam2_nmi_tpu.slam.system import SLAMSystem
+from orbslam2_nmi_tpu.slam.tracking import TrackingState
+
+W, H = 320, 240
+N_FRAMES = 25
+
+
+@pytest.fixture(scope="module")
+def world_and_frames():
+    world = SyntheticWorld.generate(seed=3)
+    frames = [world.render_frame(i, N_FRAMES, W, H) for i in range(N_FRAMES)]
+    return world, frames
+
+
+def make_system(world, use_nmi=False):
+    K = world.camera_K(W, H)
+    cfg = SystemConfig(
+        camera=CameraConfig(
+            fx=float(K[0, 0]), fy=float(K[1, 1]), cx=float(K[0, 2]), cy=float(K[1, 2]),
+            width=W, height=H, fps=10.0,
+        ),
+        orb=ORBConfig(n_features=400, n_levels=4),
+        nmi=NMIConfig(offset=4, threshold=0.3),
+        tracking=TrackingConfig(
+            max_frames=10, max_keyframes=64, max_map_points=8192, max_features=512
+        ),
+    )
+    model = None
+    if use_nmi:
+        import jax.numpy as jnp
+
+        from orbslam2_nmi_tpu.ops import render as render_ops
+
+        model = render_ops.RenderModel(
+            points=jnp.asarray(world.points), gray=jnp.asarray(world.gray)
+        )
+        cfg = cfg.replace(
+            nmi=NMIConfig(
+                offset=4, threshold=0.3, render_near=2.0, render_far=40.0,
+                max_iteration_count=2,
+            )
+        )
+    import tempfile
+
+    return SLAMSystem(cfg, nmi_model=model, use_nmi=use_nmi, output_dir=tempfile.mkdtemp())
+
+
+def test_vo_pipeline_tracks_sequence(world_and_frames):
+    world, frames = world_and_frames
+    sys_ = make_system(world, use_nmi=False)
+    sys_.set_init_poses(world.pose_at(0, N_FRAMES), world.pose_at(4, N_FRAMES))
+
+    est, gt = [], []
+    n_ok = 0
+    for i, img in enumerate(frames):
+        res = sys_.track_monocular(img, i / 10.0)
+        if res.state == TrackingState.OK and res.Tcw is not None:
+            n_ok += 1
+            est.append(res.Tcw)
+            gt.append(world.pose_at(i, N_FRAMES))
+    assert n_ok >= N_FRAMES - 6, f"only {n_ok} frames tracked"
+    assert sys_.map.n_keyframes >= 3
+    assert len(sys_.map.valid_point_indices()) > 100
+
+    err = ate_rmse(est, gt, align=False)  # poses are in the GT frame (anchored init)
+    assert err < 0.5, f"ATE {err:.3f} m over a 12 m path"
+    sys_.shutdown()
+
+
+def test_outputs_reference_format(world_and_frames, tmp_path):
+    world, frames = world_and_frames
+    sys_ = make_system(world, use_nmi=False)
+    sys_.output_dir = str(tmp_path)
+    sys_.set_init_poses(world.pose_at(0, N_FRAMES), world.pose_at(4, N_FRAMES))
+    for i, img in enumerate(frames[:12]):
+        sys_.track_monocular(img, i / 10.0)
+    sys_.save_full_trajectory("Full")
+    sys_.save_keyframe_trajectory_tum("KF.txt")
+    sys_.print_map_points("Map.xyz")
+
+    full = (tmp_path / "Full.txt").read_text().strip().splitlines()
+    assert len(full) >= 5
+    # rows: id t [flags] x y z qx qy qz qw
+    kf_rows = [l for l in full if " KF" in l]
+    assert len(kf_rows) >= 2
+    first = full[0].split()
+    assert len(first) >= 9
+    kf = (tmp_path / "KF.txt").read_text().strip().splitlines()
+    assert all(len(l.split()) == 8 for l in kf)
+    xyz = np.loadtxt(tmp_path / "Map.xyz")
+    assert xyz.shape[1] == 3 and len(xyz) > 50
