@@ -71,7 +71,9 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
         ],
         axis=-1,
     )
-    sin_theta = 0.5 * jnp.linalg.norm(v, axis=-1)
+    # sqrt is guarded so autodiff through the identity rotation stays finite
+    # (jnp.where does not protect gradients of the untaken branch)
+    sin_theta = 0.5 * jnp.sqrt(jnp.sum(v * v, axis=-1) + 1e-24)
     # atan2 form is well-conditioned over the whole range except theta ~ pi
     theta = jnp.arctan2(sin_theta, cos_theta)
     small = sin_theta < 1e-5
@@ -81,7 +83,7 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
     # Near pi: use diagonal extraction
     diag = jnp.stack([R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]], axis=-1)
     axis_sq = jnp.clip((diag - cos_theta[..., None]) / jnp.maximum(1.0 - cos_theta[..., None], _EPS), 0.0, None)
-    axis = jnp.sqrt(axis_sq)
+    axis = jnp.sqrt(axis_sq + 1e-24)
     # fix signs from off-diagonals
     s0 = jnp.where(R[..., 2, 1] - R[..., 1, 2] >= 0, 1.0, -1.0)
     s1 = jnp.where(R[..., 0, 2] - R[..., 2, 0] >= 0, 1.0, -1.0)
@@ -260,6 +262,63 @@ def sim3_apply(S: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
 
 def sim3_scale(S: jnp.ndarray) -> jnp.ndarray:
     return jnp.linalg.norm(S[..., :3, 0], axis=-1)
+
+
+def _sim3_w_matrix(phi: jnp.ndarray, sigma: jnp.ndarray) -> jnp.ndarray:
+    """The sim(3) 'W' matrix with t = W rho (Strasdat's closed form, the math
+    behind g2o sim3.h): W = C I + A hat(phi) + B hat(phi)^2 with smooth
+    coefficient limits for jit."""
+    s = jnp.exp(sigma)
+    theta2 = jnp.sum(phi * phi, axis=-1)
+    theta = jnp.sqrt(theta2 + _EPS)
+    W = hat(phi)
+    W2 = _mm(W, W)
+
+    small_sig = jnp.abs(sigma) < 1e-5
+    small_th = theta < 1e-5
+    sig_safe = jnp.where(small_sig, 1.0, sigma)
+    th_safe = jnp.where(small_th, 1.0, theta)
+
+    C = jnp.where(small_sig, 1.0 + sigma / 2.0, (s - 1.0) / sig_safe)
+    a_ss = jnp.full_like(C, 0.5)  # sigma ~ 0, theta ~ 0
+    b_ss = jnp.full_like(C, 1.0 / 6.0)
+    a_sl = (1.0 - jnp.cos(th_safe)) / jnp.maximum(theta2, _EPS)  # sigma ~ 0
+    b_sl = (th_safe - jnp.sin(th_safe)) / jnp.maximum(theta2 * th_safe, _EPS)
+    a_ls = ((sig_safe - 1.0) * s + 1.0) / jnp.maximum(sig_safe**2, _EPS)  # theta ~ 0
+    b_ls = ((0.5 * sig_safe**2 - sig_safe + 1.0) * s - 1.0) / jnp.maximum(sig_safe**3, _EPS)
+    aa = s * jnp.sin(th_safe)
+    bb = s * jnp.cos(th_safe)
+    cc = theta2 + sigma * sigma
+    a_ll = (aa * sig_safe + (1.0 - bb) * th_safe) / jnp.maximum(th_safe * cc, _EPS)
+    b_ll = (C - ((bb - 1.0) * sig_safe + aa * th_safe) / jnp.maximum(cc, _EPS)) / jnp.maximum(
+        theta2, _EPS
+    )
+    A = jnp.where(small_th, jnp.where(small_sig, a_ss, a_ls), jnp.where(small_sig, a_sl, a_ll))
+    B = jnp.where(small_th, jnp.where(small_sig, b_ss, b_ls), jnp.where(small_sig, b_sl, b_ll))
+
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=phi.dtype), W.shape)
+    return C[..., None, None] * eye + A[..., None, None] * W + B[..., None, None] * W2
+
+
+def sim3_exp(xi: jnp.ndarray) -> jnp.ndarray:
+    """sim(3) tangent [rho(3), phi(3), sigma(1)] -> 4x4 [sR t; 0 1]."""
+    rho, phi, sigma = xi[..., :3], xi[..., 3:6], xi[..., 6]
+    R = so3_exp(phi)
+    Wm = _sim3_w_matrix(phi, sigma)
+    t = jnp.einsum("...ij,...j->...i", Wm, rho, precision=_HIGHEST)
+    return make_sim3(R, t, jnp.exp(sigma))
+
+
+def sim3_log(S: jnp.ndarray) -> jnp.ndarray:
+    """4x4 sim3 -> [rho, phi, sigma]. Inverse of sim3_exp."""
+    s = sim3_scale(S)
+    R = S[..., :3, :3] / s[..., None, None]
+    t = S[..., :3, 3]
+    phi = so3_log(R)
+    sigma = jnp.log(jnp.maximum(s, _EPS))
+    Wm = _sim3_w_matrix(phi, sigma)
+    rho = jnp.linalg.solve(Wm, t[..., None])[..., 0]
+    return jnp.concatenate([rho, phi, sigma[..., None]], axis=-1)
 
 
 # Batched convenience

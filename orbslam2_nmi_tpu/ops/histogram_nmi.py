@@ -181,6 +181,65 @@ def joint_entropy_grid_pallas(
     return out[:, :, 0, 0]
 
 
+def _marginal_entropy_kernel(n_chunks: int, n_valid: int, n_bins: int):
+    inv_n = 1.0 / float(n_valid)
+    rows = _CHUNK // 128
+
+    def kernel(bins_ref, out_ref, acc_ref):
+        c = pl.program_id(1)
+
+        @pl.when(c == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        a3 = bins_ref[0]  # [rows, 128]
+        bins_col = jax.lax.broadcasted_iota(jnp.int32, (n_bins, 128), 0)
+        acc = acc_ref[:]
+        for r in range(rows):
+            acc = acc + (a3[r : r + 1, :] == bins_col).astype(jnp.float32)
+        acc_ref[:] = acc
+
+        @pl.when(c == n_chunks - 1)
+        def _():
+            hist = jnp.sum(acc_ref[:], axis=1)  # [n_bins] lane-reduced counts
+            p = hist * inv_n
+            plogp = jnp.where(p > 0, p * (jnp.log(jnp.where(p > 0, p, 1.0)) * 1.4426950408889634), 0.0)
+            out_ref[0] = jnp.broadcast_to(-jnp.sum(plogp), (8, 128))
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("n_valid", "n_bins", "interpret"))
+def marginal_entropy_pallas(
+    bins: jnp.ndarray,  # [N, P_pad] int32, padding = -1
+    n_valid: int,
+    n_bins: int = N_BINS,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Per-image Shannon entropies [N] via one-hot accumulation (no scatter).
+
+    Replaces the XLA scatter-add histogram (slow on TPU) for the S+R marginal
+    terms of the NMI score.
+    """
+    N, P = bins.shape
+    assert P % _CHUNK == 0
+    n_chunks = P // _CHUNK
+    rows = _CHUNK // 128
+    bins3 = bins.reshape(N, P // 128, 128)
+    out = pl.pallas_call(
+        _marginal_entropy_kernel(n_chunks, n_valid, n_bins),
+        out_shape=jax.ShapeDtypeStruct((N, 8, 128), jnp.float32),
+        grid=(N, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, rows, 128), lambda n, c: (n, c, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((1, 8, 128), lambda n, c: (n, 0, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((n_bins, 128), jnp.float32)],
+        interpret=interpret,
+    )(bins3)
+    return out[:, 0, 0]
+
+
 def pad_pixels(bins: jnp.ndarray, chunk: int = _CHUNK) -> jnp.ndarray:
     """Pad the pixel axis of [N, P] to a chunk multiple with -1 sentinels."""
     p = bins.shape[-1]
@@ -211,11 +270,13 @@ def nmi_scores(
     if use_pallas is None:
         use_pallas = jax.devices()[0].platform == "tpu"
 
-    Ha = jax.vmap(lambda x: marginal_entropy(x, P, n_bins))(sb)
-    Hb = jax.vmap(lambda x: marginal_entropy(x, P, n_bins))(wb)
     if use_pallas:
+        Ha = marginal_entropy_pallas(pad_pixels(sb), P, n_bins)
+        Hb = marginal_entropy_pallas(pad_pixels(wb), P, n_bins)
         Hab = joint_entropy_grid_pallas(pad_pixels(sb), pad_pixels(wb), P, n_bins)
     else:
+        Ha = jax.vmap(lambda x: marginal_entropy(x, P, n_bins))(sb)
+        Hb = jax.vmap(lambda x: marginal_entropy(x, P, n_bins))(wb)
         Hab = jax.vmap(
             lambda a: jax.vmap(lambda b: joint_entropy_reference(a, b, P, n_bins))(wb)
         )(sb)

@@ -69,12 +69,15 @@ def warp_bilinear(img: jnp.ndarray, H: jnp.ndarray, fill: float = 0.0) -> jnp.nd
     v0i = jnp.clip(v0.astype(jnp.int32), 0, h - 1)
     u1i = jnp.clip(u0i + 1, 0, w - 1)
     v1i = jnp.clip(v0i + 1, 0, h - 1)
-    f = img.astype(jnp.float32)
+    # flat 1-D takes lower to much better TPU gathers than 2-D advanced indexing
+    f = img.astype(jnp.float32).reshape(-1)
+    base0 = v0i * w
+    base1 = v1i * w
     val = (
-        f[v0i, u0i] * (1 - du) * (1 - dv)
-        + f[v0i, u1i] * du * (1 - dv)
-        + f[v1i, u0i] * (1 - du) * dv
-        + f[v1i, u1i] * du * dv
+        jnp.take(f, base0 + u0i) * (1 - du) * (1 - dv)
+        + jnp.take(f, base0 + u1i) * du * (1 - dv)
+        + jnp.take(f, base1 + u0i) * (1 - du) * dv
+        + jnp.take(f, base1 + u1i) * du * dv
     )
     return jnp.where(inb, val, fill)
 

@@ -1,0 +1,95 @@
+"""Essential-graph Sim(3) pose-graph optimization.
+
+Replaces Optimizer::OptimizeEssentialGraph (reference: src/Optimizer.cc:798,
+g2o BlockSolver_7_3 Levenberg with lambda=1e-16 :811, 20 iterations): after a
+loop closure, keyframe Sim3 poses are relaxed over the essential graph
+(spanning tree + loop edges + strong-covisibility edges >= 100) with the loop
+keyframe fixed.
+
+TPU-first design: per-edge residuals e = log(S_meas_ji . S_i . S_j^{-1}) with
+Jacobians from jax autodiff of the right-perturbation (no hand-derived g2o
+jacobians), batched over all edges in one vmap; the dense [7V, 7V] normal
+matrix is assembled with scatter-adds and Cholesky-solved on device. V is a
+few hundred keyframes, so dense is both simpler and faster than sparse here.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from orbslam2_nmi_tpu.geometry import se3
+
+
+class PoseGraphProblem(NamedTuple):
+    Scw: jnp.ndarray  # [V, 4, 4] sim3 world->camera per keyframe
+    fixed: jnp.ndarray  # [V] bool
+    valid: jnp.ndarray  # [V] bool
+    edge_i: jnp.ndarray  # [E] int32
+    edge_j: jnp.ndarray  # [E] int32
+    edge_Sji: jnp.ndarray  # [E, 4, 4] measured S_j * S_i^{-1}
+    edge_valid: jnp.ndarray  # [E] bool
+
+
+def edge_residual(Si: jnp.ndarray, Sj: jnp.ndarray, Sji: jnp.ndarray) -> jnp.ndarray:
+    """e = log(Sji . Si . Sj^{-1}) in R^7 (g2o EdgeSim3 error)."""
+    return se3.sim3_log(Sji @ Si @ se3.sim3_inverse(Sj))
+
+
+def _residual_with_delta(di, dj, Si, Sj, Sji):
+    Si_p = se3.sim3_exp(di) @ Si
+    Sj_p = se3.sim3_exp(dj) @ Sj
+    return edge_residual(Si_p, Sj_p, Sji)
+
+
+_jac = jax.jacfwd(_residual_with_delta, argnums=(0, 1))
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def optimize_pose_graph(prob: PoseGraphProblem, iters: int = 20, lam: float = 1e-16) -> jnp.ndarray:
+    """Gauss-Newton over all sim3 vertices. Returns optimized Scw [V, 4, 4]."""
+    V = prob.Scw.shape[0]
+    free = prob.valid & (~prob.fixed)
+
+    def gn_step(Scw, _):
+        Si = Scw[prob.edge_i]
+        Sj = Scw[prob.edge_j]
+        zero = jnp.zeros(7)
+        e = jax.vmap(_residual_with_delta, in_axes=(None, None, 0, 0, 0))(
+            zero, zero, Si, Sj, prob.edge_Sji
+        )  # [E, 7]
+        Ji, Jj = jax.vmap(_jac, in_axes=(None, None, 0, 0, 0))(
+            zero, zero, Si, Sj, prob.edge_Sji
+        )  # [E, 7, 7] each
+        w = prob.edge_valid.astype(jnp.float32)
+        # assemble dense H [V*7, V*7], b [V*7]
+        HII = jnp.einsum("eki,e,ekj->eij", Ji, w, Ji)
+        HJJ = jnp.einsum("eki,e,ekj->eij", Jj, w, Jj)
+        HIJ = jnp.einsum("eki,e,ekj->eij", Ji, w, Jj)
+        bI = jnp.einsum("eki,e,ek->ei", Ji, w, e)
+        bJ = jnp.einsum("eki,e,ek->ei", Jj, w, e)
+
+        H = jnp.zeros((V, V, 7, 7))
+        H = H.at[prob.edge_i, prob.edge_i].add(HII)
+        H = H.at[prob.edge_j, prob.edge_j].add(HJJ)
+        H = H.at[prob.edge_i, prob.edge_j].add(HIJ)
+        H = H.at[prob.edge_j, prob.edge_i].add(jnp.swapaxes(HIJ, -1, -2))
+        b = jnp.zeros((V, 7))
+        b = b.at[prob.edge_i].add(bI)
+        b = b.at[prob.edge_j].add(bJ)
+
+        Hd = H.transpose(0, 2, 1, 3).reshape(V * 7, V * 7)
+        free7 = jnp.repeat(free, 7)
+        Hd = jnp.where(free7[:, None] & free7[None, :], Hd, 0.0)
+        Hd = Hd + jnp.diag(jnp.where(free7, lam, 1.0)) + 1e-6 * jnp.eye(V * 7)
+        bd = jnp.where(free7, -b.reshape(-1), 0.0)
+        delta = jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(Hd), bd).reshape(V, 7)
+        Scw_new = jax.vmap(lambda d, S: se3.sim3_exp(d) @ S)(delta, Scw)
+        Scw = jnp.where(free[:, None, None], Scw_new, Scw)
+        return Scw, None
+
+    Scw, _ = jax.lax.scan(gn_step, prob.Scw, None, length=iters)
+    return Scw

@@ -311,3 +311,12 @@ def test_localizer_rejects_garbage(localizer_setup):
     out = loc.relocalize_strategy(garbage, T_true, initializing=True)
     assert out.failed and not out.relocalized
     np.testing.assert_array_equal(out.Tcw, T_true)  # pose reverted
+
+
+def test_marginal_entropy_pallas_matches_reference():
+    rng = np.random.default_rng(6)
+    P = histogram_nmi._CHUNK * 2
+    b = jnp.asarray(rng.integers(0, 256, (3, P)), jnp.int32)
+    ref = np.asarray(jnp.stack([histogram_nmi.marginal_entropy(b[i], P) for i in range(3)]))
+    out = np.asarray(histogram_nmi.marginal_entropy_pallas(b, P, interpret=True))
+    np.testing.assert_allclose(out, ref, atol=1e-3)
