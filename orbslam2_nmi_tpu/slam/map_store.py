@@ -265,11 +265,10 @@ class MapStore:
         ks = self.mp_obs_kf[p, :n]
         fs = self.mp_obs_feat[p, :n]
         descs = self.kf_feat_desc[ks, fs]  # [n, 8]
-        # median-Hamming distinctive descriptor
-        x = descs[:, None, :] ^ descs[None, :, :]
-        dists = np.unpackbits(x.view(np.uint8), axis=-1).sum(-1)
-        best = np.argmin(np.median(dists, axis=1))
-        self.mp_desc[p] = descs[best]
+        # median-Hamming distinctive descriptor (native kernel, numpy fallback)
+        from orbslam2_nmi_tpu import native
+
+        self.mp_desc[p] = descs[native.median_hamming_best(descs)]
         # normal: mean unit vector from observing camera centers
         Rcw = self.kf_Tcw[ks, :3, :3]
         tcw = self.kf_Tcw[ks, :3, 3]

@@ -51,10 +51,43 @@ class SLAMSystem:
             else None
         )
         self.local_mapper = LocalMapper(cfg, self.map, log_fn=self.log)
+        # vocabulary: load if configured, else trained lazily on the first
+        # keyframe's descriptors (System.cc:87 loads ORBvoc.txt up front)
+        self.vocabulary = None
+        self.database = None
+        self.loop_closer = None
+        if cfg.vocabulary_path and os.path.exists(cfg.vocabulary_path):
+            from orbslam2_nmi_tpu.slam.vocabulary import Vocabulary
+
+            self.vocabulary = Vocabulary.load(cfg.vocabulary_path)
+            self._build_place_recognition()
         self.tracker = Tracker(
-            cfg, self.map, self.local_mapper, self.localizer, log_fn=self.log
+            cfg, self.map, self.local_mapper, self.localizer, log_fn=self.log,
+            system=self,
         )
         self.frame_times: list[float] = []
+
+    def _build_place_recognition(self):
+        from orbslam2_nmi_tpu.slam.keyframe_database import KeyFrameDatabase
+        from orbslam2_nmi_tpu.slam.loop_closing import LoopCloser
+
+        self.database = KeyFrameDatabase(self.vocabulary, self.cfg.tracking.max_keyframes)
+        self.loop_closer = LoopCloser(
+            self.cfg, self.map, self.database, self.local_mapper, log_fn=self.log
+        )
+
+    def ensure_vocabulary(self, descriptors, valid):
+        """Train the vocabulary on first-seen descriptors if none was loaded."""
+        if self.vocabulary is not None:
+            return
+        from orbslam2_nmi_tpu.slam.vocabulary import Vocabulary
+
+        d = descriptors[valid]
+        if len(d) < 64:
+            return
+        self.vocabulary = Vocabulary.train(d, k=6, depth=3, seed=0)
+        self._build_place_recognition()
+        self.log(f"trained vocabulary: {self.vocabulary.n_words} words from {len(d)} descriptors")
 
     @classmethod
     def from_yaml(cls, settings_path: str, **kw) -> "SLAMSystem":
@@ -117,6 +150,46 @@ class SLAMSystem:
         model_loader.save_xyz_pointcloud(
             os.path.join(self.output_dir, name), self.map.mp_pos[ps]
         )
+
+    def save_map(self, path: str):
+        """Checkpoint the full map + tracker state (reference TODO System.h:128)."""
+        from orbslam2_nmi_tpu.slam import checkpoint
+
+        tr = self.tracker
+        checkpoint.save_map(
+            path,
+            self.map,
+            {
+                "ref_kf": tr.ref_kf,
+                "last_kf_frame_id": tr.last_kf_frame_id,
+                "kfs_since_last_nmi": tr.kfs_since_last_nmi,
+                "dist_since_nmi": tr.dist_since_nmi,
+                "rot_since_nmi": tr.rot_since_nmi,
+            },
+        )
+
+    def load_map(self, path: str):
+        from orbslam2_nmi_tpu.slam import checkpoint
+        from orbslam2_nmi_tpu.slam.tracking import TrackingState
+
+        hdr = checkpoint.load_map(path, self.map)
+        tr = self.tracker
+        if hdr:
+            tr.ref_kf = int(hdr.get("ref_kf", -1))
+            tr.last_kf_frame_id = int(hdr.get("last_kf_frame_id", -1))
+            tr.kfs_since_last_nmi = int(hdr.get("kfs_since_last_nmi", 0))
+            tr.dist_since_nmi = np.asarray(hdr.get("dist_since_nmi", np.zeros(3))).copy()
+            tr.rot_since_nmi = np.asarray(hdr.get("rot_since_nmi", np.zeros(3))).copy()
+        tr.state = TrackingState.LOST  # resume by relocalizing into the map
+        # rebuild the keyframe database from restored descriptors
+        if self.vocabulary is None and self.map.n_keyframes > 0:
+            k0 = int(self.map.valid_keyframe_indices()[0])
+            self.ensure_vocabulary(self.map.kf_feat_desc[k0], self.map.kf_feat_valid[k0])
+        if self.database is not None:
+            for k in self.map.valid_keyframe_indices():
+                self.database.add(
+                    int(k), self.map.kf_feat_desc[k], self.map.kf_feat_valid[k]
+                )
 
     def shutdown(self):
         """System::Shutdown (System.cc:329): flush outputs, report timing."""

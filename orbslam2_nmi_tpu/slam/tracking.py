@@ -72,12 +72,15 @@ class Tracker:
         local_mapper=None,
         nmi_localizer=None,
         log_fn: Optional[Callable[[str], None]] = None,
+        system=None,
     ):
         self.cfg = cfg
         self.map = map_store
         self.local_mapper = local_mapper
         self.nmi = nmi_localizer
+        self.system = system  # for vocabulary / database / loop closer access
         self.log = log_fn or (lambda s: None)
+        self._rng_key = None  # lazily split for PnP RANSAC
 
         self.state = TrackingState.NOT_INITIALIZED
         self.velocity: Optional[np.ndarray] = None  # Tcw_cur @ inv(Tcw_last)
@@ -123,6 +126,10 @@ class Tracker:
             res = self._initialize(frame)
         else:
             res = self._track(frame)
+            # reset if lost soon after initialization (Tracking.cc:637-643)
+            if res.state == TrackingState.LOST and self.map.n_keyframes <= 5:
+                self.log("track lost soon after initialization, resetting")
+                self.reset()
 
         # drift accumulators (Tracking.cc:648-662)
         if (
@@ -272,10 +279,16 @@ class Tracker:
     def _track(self, frame: FrameData) -> TrackResult:
         t = self.cfg.tracking
         ok = False
-        if self.velocity is not None and self.last_frame is not None:
-            ok = self._track_with_motion_model(frame)
-        if not ok:
-            ok = self._track_reference_keyframe(frame)
+        if self.state == TrackingState.LOST:
+            ok = self._relocalize(frame)
+            if ok:
+                self.state = TrackingState.OK
+                self.velocity = None
+        else:
+            if self.velocity is not None and self.last_frame is not None:
+                ok = self._track_with_motion_model(frame)
+            if not ok:
+                ok = self._track_reference_keyframe(frame)
 
         if not ok:
             self.state = TrackingState.LOST
@@ -539,7 +552,77 @@ class Tracker:
         if self.local_mapper is not None:
             self.local_mapper.process_keyframe(k)
             frame.Tcw = self.map.kf_Tcw[k].copy()
+        # place recognition: train vocab on first KF if needed, feed the
+        # loop closer (LoopClosing::InsertKeyFrame, LocalMapping.cc:90)
+        if self.system is not None:
+            self.system.ensure_vocabulary(frame.desc, frame.valid)
+            if self.system.loop_closer is not None:
+                if self.system.loop_closer.process_keyframe(k):
+                    frame.Tcw = self.map.kf_Tcw[k].copy()
         self.log(f"frame {frame.frame_id}: new keyframe {k}")
+
+    # -------------------------------------------------------- relocalization
+
+    def _relocalize(self, frame: FrameData) -> bool:
+        """BoW + PnP relocalization after tracking loss
+        (Tracking::Relocalization, Tracking.cc:1596)."""
+        db = self.system.database if self.system is not None else None
+        if db is None:
+            return False
+        import jax
+
+        from orbslam2_nmi_tpu.solvers import pnp
+
+        cands = db.detect_relocalization_candidates(self.map, frame.desc, frame.valid)
+        if not cands:
+            return False
+        if self._rng_key is None:
+            self._rng_key = jax.random.PRNGKey(11)
+        for cand in cands[:5]:
+            has_mp = self.map.kf_mp_idx[cand] >= 0
+            if has_mp.sum() < 15:
+                continue
+            idx, _ = matching.match_descriptors(
+                jnp.asarray(self.map.kf_feat_desc[cand]),
+                jnp.asarray(has_mp),
+                jnp.asarray(frame.desc),
+                jnp.asarray(frame.valid),
+                max_dist=matching.TH_LOW,
+                nn_ratio=0.75,
+                angle_a=jnp.asarray(self.map.kf_feat_angle[cand]),
+                angle_b=jnp.asarray(frame.angle),
+                check_rotation=True,
+            )
+            idx = np.asarray(idx)
+            src = np.nonzero(idx >= 0)[0]
+            if len(src) < 15:
+                continue
+            mp_ids = self.map.kf_mp_idx[cand][src]
+            pts = self.map.mp_pos[mp_ids]
+            uv = frame.xy[idx[src]]
+            self._rng_key, sub = jax.random.split(self._rng_key)
+            res = pnp.pnp_ransac(
+                sub,
+                jnp.asarray(self.K),
+                jnp.asarray(pts),
+                jnp.asarray(uv),
+                jnp.asarray(self.inv_sigma2[frame.octave[idx[src]]]),
+                jnp.ones(len(src), bool),
+                min_inliers=10,
+            )
+            if not bool(res.ok):
+                continue
+            frame.Tcw = np.asarray(res.Tcw)
+            frame.mp_idx[:] = -1
+            inl = np.asarray(res.inliers)
+            frame.mp_idx[idx[src[inl]]] = mp_ids[inl]
+            self.ref_kf = cand
+            self.log(
+                f"frame {frame.frame_id}: relocalized against KF {cand} "
+                f"({int(res.n_inliers)} inliers)"
+            )
+            return True
+        return False
 
     # ------------------------------------------------------------------ NMI
 
@@ -568,6 +651,28 @@ class Tracker:
         return out.relocalized
 
     # ----------------------------------------------------------------- utils
+
+    def reset(self):
+        """System::Reset semantics (Tracking.cc:1759-1808): wipe the map and
+        reinitialize from scratch."""
+        self.map.__post_init__()
+        self.map.n_keyframes = 0
+        self.map.n_points = 0
+        self.state = TrackingState.NOT_INITIALIZED
+        self.velocity = None
+        self.init_frame = None
+        self.ref_kf = -1
+        self.last_kf_frame_id = -1
+        self.kfs_since_last_nmi = 0
+        self.dist_since_nmi[:] = 0.0
+        self.rot_since_nmi[:] = 0.0
+        if self.local_mapper is not None:
+            self.local_mapper.recent_points = []
+        if self.system is not None and self.system.loop_closer is not None:
+            self.system.loop_closer.consistent_groups = []
+            self.system.loop_closer.loop_edges = []
+            self.system.database.active[:] = False
+            self.system.database.words.clear()
 
     def _project(self, Tcw: np.ndarray, pts: np.ndarray) -> np.ndarray:
         pc = (Tcw[:3, :3] @ pts.T).T + Tcw[:3, 3]

@@ -320,3 +320,31 @@ def test_marginal_entropy_pallas_matches_reference():
     ref = np.asarray(jnp.stack([histogram_nmi.marginal_entropy(b[i], P) for i in range(3)]))
     out = np.asarray(histogram_nmi.marginal_entropy_pallas(b, P, interpret=True))
     np.testing.assert_allclose(out, ref, atol=1e-3)
+
+
+def test_two_pass_warp_matches_gather():
+    """The gather-free two-pass warp must agree with the exact bilinear warp
+    (sub-pixel decomposition error only)."""
+    rng = np.random.default_rng(11)
+    img = jnp.asarray(rng.uniform(0, 255, (96, 128)).astype(np.float32))
+    K = jnp.asarray(CameraConfig(fx=150, fy=150, cx=64, cy=48).K)
+    angles = homography.rotation_grid_angles((3, 3, 3), (0.02, 0.02, 0.04))
+    Hs = homography.homographies_from_angles(K, angles)
+    bound = homography.shift_bound_for_angles(np.asarray(K), np.asarray(angles), 96, 128)
+    g = np.asarray(homography._warp_grid_gather_jit(img, Hs))
+    t = np.asarray(homography._warp_grid_two_pass_jit(img, Hs, bound))
+    valid = (t > 0) & (g > 0)
+    assert valid.mean() > 0.9
+    diff = np.abs(t - g)[valid]
+    assert diff.mean() < 1.0, diff.mean()  # smooth random texture: sub-gray-level
+
+
+def test_warp_rotation_grid_uses_two_pass_for_small_angles():
+    img = jnp.zeros((64, 64))
+    K = jnp.asarray(CameraConfig(fx=100, fy=100, cx=32, cy=32).K)
+    small = homography.rotation_grid_angles((3, 3, 3), (0.01, 0.01, 0.01))
+    out = homography.warp_rotation_grid(img, K, small)
+    assert out.shape == (27, 64, 64)
+    big = homography.rotation_grid_angles((3, 1, 1), (0.8, 0.0, 0.0))  # falls back
+    out2 = homography.warp_rotation_grid(img, K, big)
+    assert out2.shape == (3, 64, 64)
