@@ -201,10 +201,17 @@ def _marginal_entropy_kernel(n_chunks: int, n_valid: int, n_bins: int):
 
         @pl.when(c == n_chunks - 1)
         def _():
-            hist = jnp.sum(acc_ref[:], axis=1)  # [n_bins] lane-reduced counts
-            p = hist * inv_n
+            # lane-reduce via matmul against ones so every intermediate stays a
+            # 2-D (8,128)-tileable vector (1-D [n_bins] hits a Mosaic relayout
+            # bug); every column of `tot` holds the same per-bin total.
+            ones = jnp.ones((128, 128), jnp.float32)
+            tot = jax.lax.dot_general(
+                acc_ref[:], ones, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [n_bins, 128]
+            p = tot * inv_n
             plogp = jnp.where(p > 0, p * (jnp.log(jnp.where(p > 0, p, 1.0)) * 1.4426950408889634), 0.0)
-            out_ref[0] = jnp.broadcast_to(-jnp.sum(plogp), (8, 128))
+            out_ref[0] = jnp.broadcast_to(-jnp.sum(plogp) / 128.0, (8, 128))
 
     return kernel
 

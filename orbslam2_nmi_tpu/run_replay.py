@@ -78,10 +78,18 @@ def main(argv=None):
     else:
         if not args.settings or not args.sequence:
             ap.error("--settings and --sequence required (or use --synthetic N)")
-        from orbslam2_nmi_tpu.io.datasets import load_eth_sequence
+        from orbslam2_nmi_tpu.io.datasets import (
+            load_eth_sequence,
+            load_newer_college_sequence,
+        )
 
         cfg = load_yaml_config(args.settings)
-        seq = load_eth_sequence(args.sequence, start_frame=args.start_frame)
+        import os
+
+        if os.path.exists(args.sequence.rstrip("/") + "_times.txt"):
+            seq = load_eth_sequence(args.sequence, start_frame=args.start_frame)
+        else:
+            seq = load_newer_college_sequence(args.sequence, start_frame=args.start_frame)
         system = SLAMSystem(cfg, use_nmi=not args.no_nmi, output_dir=args.output,
                             verbose=args.verbose)
         frames = ((i, t, img) for i, t, img in seq.frames())

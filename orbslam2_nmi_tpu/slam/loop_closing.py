@@ -114,6 +114,8 @@ class LoopCloser:
                     break
             if not matched_any:
                 new_groups.append((group, 0))
+                if 0 >= self.covisibility_consistency_th:
+                    enough.append(cand)
         self.consistent_groups = new_groups
         if enough:
             self.log(f"KF {k}: loop candidates {enough}")

@@ -190,11 +190,17 @@ class Tracker:
         cfg = self.cfg.nmi
         if frame.frame_id == 0 or self.init_frame is None:
             if self._init_T1 is None:
-                return TrackResult(self.state, None, 0, False)
+                # classic monocular init path: just remember the first frame
+                frame.Tcw = np.eye(4, dtype=np.float32)
+                self.init_frame = frame
+                return TrackResult(self.state, frame.Tcw, 0, False)
             frame.Tcw = self._init_T1.copy()
             self._run_nmi(frame, initializing=True)
             self.init_frame = frame
             return TrackResult(self.state, frame.Tcw, 0, False)
+
+        if self._init_T1 is None:
+            return self._initialize_classic(frame)
 
         if frame.frame_id < self.init_frame.frame_id + cfg.offset:
             return TrackResult(self.state, None, 0, False)
@@ -273,6 +279,83 @@ class Tracker:
             f"{f1.frame_id}/{f2.frame_id}"
         )
         return TrackResult(self.state, frame.Tcw, int(ok.sum()), True)
+
+    def _initialize_classic(self, frame: FrameData) -> TrackResult:
+        """Stock monocular initialization (MonocularInitialization,
+        Tracking.cc:755 + CreateInitialMapMonocular :882): two-view H/F RANSAC
+        reconstruction, map rescaled to unit median depth. The reference
+        bypasses this in favor of NMI init; it serves model-free operation."""
+        import jax
+
+        from orbslam2_nmi_tpu.solvers import two_view_init
+
+        f1 = self.init_frame
+        idx, _ = matching.match_descriptors(
+            jnp.asarray(f1.desc), jnp.asarray(f1.valid),
+            jnp.asarray(frame.desc), jnp.asarray(frame.valid),
+            spatial_mask=matching.window_mask(
+                jnp.asarray(f1.xy), jnp.asarray(frame.xy), 100.0
+            ),
+            max_dist=matching.TH_LOW, nn_ratio=0.9,
+            angle_a=jnp.asarray(f1.angle), angle_b=jnp.asarray(frame.angle),
+            check_rotation=True,
+        )
+        idx = np.asarray(idx)
+        m1 = np.nonzero(idx >= 0)[0]
+        if len(m1) < 100:
+            if frame.frame_id - f1.frame_id > 20:
+                self.init_frame = frame  # restart with a fresh reference
+                frame.Tcw = np.eye(4, dtype=np.float32)
+            return TrackResult(self.state, None, 0, False)
+        m2 = idx[m1]
+        if self._rng_key is None:
+            self._rng_key = jax.random.PRNGKey(13)
+        self._rng_key, sub = jax.random.split(self._rng_key)
+        res = two_view_init.initialize_two_view(
+            sub, jnp.asarray(self.K),
+            jnp.asarray(f1.xy[m1]), jnp.asarray(frame.xy[m2]),
+            jnp.ones(len(m1), bool),
+        )
+        if not bool(res.ok):
+            return TrackResult(self.state, None, 0, False)
+        inl = np.asarray(res.inliers)
+        pts = np.asarray(res.points_w)
+        T2 = np.asarray(res.Tcw2)
+        # normalize to unit median depth (CreateInitialMapMonocular :896)
+        med = float(np.median(pts[inl][:, 2]))
+        if med <= 0:
+            return TrackResult(self.state, None, 0, False)
+        pts = pts / med
+        T2 = T2.copy()
+        T2[:3, 3] /= med
+
+        f1.Tcw = np.eye(4, dtype=np.float32)
+        frame.Tcw = T2.astype(np.float32)
+        k1 = self.map.add_keyframe(
+            f1.Tcw, f1.frame_id, f1.timestamp, f1.xy, f1.octave, f1.angle, f1.desc, f1.valid
+        )
+        k2 = self.map.add_keyframe(
+            frame.Tcw, frame.frame_id, frame.timestamp, frame.xy, frame.octave,
+            frame.angle, frame.desc, frame.valid,
+        )
+        for i in np.nonzero(inl)[0]:
+            fa, fb = int(m1[i]), int(m2[i])
+            p = self.map.add_map_point(pts[i], f1.desc[fa], k1, np.zeros(3, np.float32))
+            self.map.add_observation(k1, fa, p)
+            self.map.add_observation(k2, fb, p)
+            self.map.update_point_stats(p, self.K, self.cfg.orb.scale_factor, self.cfg.orb.n_levels)
+            frame.mp_idx[fb] = p
+        if self.local_mapper is not None:
+            self.local_mapper.global_ba(iters=20)
+            frame.Tcw = self.map.kf_Tcw[k2].copy()
+        self.ref_kf = k2
+        self.last_kf_frame_id = frame.frame_id
+        self.state = TrackingState.OK
+        self.log(
+            f"classic initialization: {int(inl.sum())} points, "
+            f"{'H' if bool(res.used_homography) else 'F'} model"
+        )
+        return TrackResult(self.state, frame.Tcw, int(inl.sum()), True)
 
     # ---------------------------------------------------------------- track
 
