@@ -34,9 +34,12 @@ def _timed_loop(fn, args, out_shape, n_runs=5):
     @jax.jit
     def many(*a):
         def body(i, acc):
-            return acc + fn(*a)
+            # full-array sum forces the whole computation (no DCE) while the
+            # readback stays one scalar — the axon tunnel moves ~30 MB/s, so
+            # returning the [27, H, W] stage output would dominate the timing
+            return acc + jnp.sum(fn(*a))
 
-        return jax.lax.fori_loop(0, n_runs, body, jnp.zeros(out_shape))
+        return jax.lax.fori_loop(0, n_runs, body, jnp.zeros(()))
 
     np.asarray(many(*args))  # compile + warm
     t0 = time.perf_counter()

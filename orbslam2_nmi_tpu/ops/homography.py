@@ -140,19 +140,37 @@ def warp_two_pass(img: jnp.ndarray, H: jnp.ndarray, max_shift: int, fill: float 
     # HORIZONTAL source will need — evaluate v at x' = x - du
     _, v_corr = src_uv(xs - du, ys)
 
-    tmp, ok_v = _shift_resample(img, v_corr, axis=0, k_min=-max_shift, k_max=max_shift)
-    out, ok_u = _shift_resample(tmp, u, axis=1, k_min=-max_shift, k_max=max_shift)
+    mv, mh = (max_shift if isinstance(max_shift, tuple) else (max_shift, max_shift))
+    tmp, ok_v = _shift_resample(img, v_corr, axis=0, k_min=-mv, k_max=mv)
+    out, ok_u = _shift_resample(tmp, u, axis=1, k_min=-mh, k_max=mh)
     return jnp.where(inb & ok_v & ok_u, out, fill)
 
 
-def shift_bound_for_angles(K: np.ndarray, angles: np.ndarray, height: int, width: int) -> int:
-    """Conservative static bound on per-axis pixel shift for a rotation grid."""
+def shift_bounds_for_angles(
+    K: np.ndarray, angles: np.ndarray, height: int, width: int
+) -> tuple[int, int]:
+    """Static (vertical, horizontal) pixel-shift bounds for a rotation grid.
+
+    Rotation about x moves pixels vertically (~fy*ax), about y horizontally
+    (~fx*ay), about z tangentially (~az * corner radius per axis); small
+    projective terms are covered by the margin.
+    """
     K = np.asarray(K)
     a = np.abs(np.asarray(angles))
     ax, ay, az = a[:, 0].max(initial=0), a[:, 1].max(initial=0), a[:, 2].max(initial=0)
-    f = max(float(K[0, 0]), float(K[1, 1]))
-    bound = f * (ax + ay) * 1.2 + az * 0.6 * max(height, width) + 3.0
-    return int(np.ceil(bound))
+    fx, fy = float(K[0, 0]), float(K[1, 1])
+    cx, cy = float(K[0, 2]), float(K[1, 2])
+    half_w = max(cx, width - cx)
+    half_h = max(cy, height - cy)
+    vert = fy * ax * 1.2 + az * half_w + 3.0
+    horiz = fx * ay * 1.2 + az * half_h + 3.0
+    return int(np.ceil(vert)), int(np.ceil(horiz))
+
+
+def shift_bound_for_angles(K: np.ndarray, angles: np.ndarray, height: int, width: int) -> int:
+    """Joint bound (max of the per-axis bounds), kept for compatibility."""
+    v, h = shift_bounds_for_angles(K, angles, height, width)
+    return max(v, h)
 
 
 def warp_rotation_grid(
@@ -166,10 +184,10 @@ def warp_rotation_grid(
     enough; falls back to the exact bilinear-gather warp otherwise.
     """
     use_two_pass = False
-    bound = 0
+    bound = (0, 0)
     if not isinstance(angles, jax.core.Tracer):
-        bound = shift_bound_for_angles(np.asarray(K), np.asarray(angles), *img.shape)
-        use_two_pass = bound <= max_two_pass_shift
+        bound = shift_bounds_for_angles(np.asarray(K), np.asarray(angles), *img.shape)
+        use_two_pass = max(bound) <= max_two_pass_shift
 
     Hs = homographies_from_angles(K, angles)
     if use_two_pass:
