@@ -5,12 +5,14 @@ sweep — 27 translation-candidate renders + 27 rotation warps + 729 pose-pair
 NMI scores at full camera resolution (960x540) — and reports pose-pair
 evaluations per second.
 
-Methodology: the three stages (render grid, warp grid, NMI scoring) are timed
-as separate jitted programs, each looped N times inside one jit with a single
-readback (the axon tunnel costs ~70 ms per dispatch, and one monolithic fused
-program takes the remote compiler >10 min, so stage-wise timing is both
-accurate and tractable). The sweep time is the sum of stage device times —
-the stages are strictly sequential in the real pipeline.
+Methodology: each stage is timed with a CHAINED fori_loop inside one jit —
+every iteration's input depends on the previous iteration's output (+= acc *
+1e-30), which defeats XLA's loop-invariant code motion; a plain loop over an
+invariant computation gets hoisted and reports ~n_runs-times-too-fast numbers
+(verified on this backend). Per-iteration time = (t(n) - t(1)) / (n - 1),
+which also cancels the axon tunnel's ~30-70 ms dispatch overhead. The sweep
+time is the sum of stage device times — the stages are strictly sequential in
+the real pipeline.
 
 Baseline derivation (the reference publishes no numbers, see BASELINE.md): the
 reference needs one relocalization (<= 4 iterations x 729 evals = 2916 evals)
@@ -26,25 +28,32 @@ import time
 import numpy as np
 
 
-def _timed_loop(fn, args, out_shape, n_runs=5):
-    """Compile fn, run n_runs iterations inside one jit, return s/iter."""
+def _timed_chained(fn, args, perturb_idx, n_runs):
+    """Compile fn, run n_runs chained iterations inside one jit; return total
+    seconds. args[perturb_idx] must be a float array; the perturbation value
+    (acc * 1e-30) is numerically irrelevant but forces sequential execution."""
     import jax
     import jax.numpy as jnp
 
     @jax.jit
     def many(*a):
         def body(i, acc):
-            # full-array sum forces the whole computation (no DCE) while the
-            # readback stays one scalar — the axon tunnel moves ~30 MB/s, so
-            # returning the [27, H, W] stage output would dominate the timing
-            return acc + jnp.sum(fn(*a))
+            a2 = list(a)
+            a2[perturb_idx] = a2[perturb_idx] + acc * 1e-30
+            return acc + jnp.sum(fn(*a2).astype(jnp.float32))
 
         return jax.lax.fori_loop(0, n_runs, body, jnp.zeros(()))
 
     np.asarray(many(*args))  # compile + warm
     t0 = time.perf_counter()
     np.asarray(many(*args))
-    return (time.perf_counter() - t0) / n_runs
+    return time.perf_counter() - t0
+
+
+def _per_iter(fn, args, perturb_idx=0, n_runs=5):
+    t1 = _timed_chained(fn, args, perturb_idx, 1)
+    tn = _timed_chained(fn, args, perturb_idx, n_runs)
+    return max((tn - t1) / (n_runs - 1), 1e-9)
 
 
 def main():
@@ -74,25 +83,22 @@ def main():
     frame = jnp.asarray(rng.uniform(0, 255, (H, W)).astype(np.float32))
     Tcw = jnp.eye(4, dtype=jnp.float32)
 
-    # stage 1: render all translation candidates
-    t_render = _timed_loop(
+    # stage 1: render all translation candidates (perturb the pose matrix)
+    t_render = _per_iter(
         lambda T: render.render_translation_grid(model, T, K, offsets, H, W, 5.0, 30.0, 3),
         (Tcw,),
-        (27, H, W),
     )
-    # stage 2: warp all rotation hypotheses (gather-free two-pass path)
-    t_warp = _timed_loop(
+    # stage 2: warp all rotation hypotheses (perturb the frame)
+    t_warp = _per_iter(
         lambda f: homography.warp_rotation_grid(f, K, angles),
         (frame,),
-        (27, H, W),
     )
-    # stage 3: NMI scoring of all pairs (Pallas joint-entropy + marginals)
+    # stage 3: NMI scoring of all pairs (perturb the rendered stack)
     synth = render.render_translation_grid(model, Tcw, K, offsets, H, W, 5.0, 30.0, 3)
     warped = homography.warp_rotation_grid(frame, K, angles)
-    t_nmi = _timed_loop(
+    t_nmi = _per_iter(
         lambda s, w: histogram_nmi.nmi_scores(s, w, use_pallas=use_pallas),
         (synth, warped),
-        (27, 27),
     )
 
     dt = t_render + t_warp + t_nmi

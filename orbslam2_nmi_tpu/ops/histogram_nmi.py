@@ -93,41 +93,56 @@ def _combine(Ha, Hb, Hab, metric):
 # ---------------------------------------------------------------------------
 
 
-# Mosaic requires block sublane/lane dims divisible by (8, 128); the pixel
-# chunk is therefore shaped [_CHUNK // 128, 128] (16 x 128 for CHUNK=2048).
+# Mosaic requires block sublane/lane dims divisible by (8, 128). The joint
+# kernel consumes [8, JCHUNK]-shaped pixel super-chunks: each of the 8 rows
+# one-hot-expands to [n_bins, JCHUNK] and feeds an int8 MXU matmul with
+# K=JCHUNK (one-hot products are exactly representable in int8 and the int8
+# MXU path runs at 2x the bf16 rate; counts accumulate exactly in int32).
+
+_JCHUNK = 2048  # lanes per joint-kernel matmul (K dimension)
+_JROWS = 8
+_JSUPER = _JROWS * _JCHUNK  # pixels per joint-kernel grid step
 
 
-def _joint_entropy_kernel(n_chunks: int, n_valid: int, n_bins: int):
+def _joint_entropy_kernel(n_chunks: int, n_r: int, n_valid: int, n_bins: int):
     inv_n = 1.0 / float(n_valid)
-    rows = _CHUNK // 128
 
-    def kernel(synth_ref, warp_ref, out_ref, acc_ref):
-        c = pl.program_id(2)
+    def kernel(synth_ref, warp_ref, out_ref, acc_ref, aoh_ref):
+        # grid order (S, C, R): r sweeps fastest, so the synth one-hot for
+        # (s, c) is built once (at r == 0) and reused for all R warps — the
+        # one-hot expansion is ~30% of kernel time otherwise. Each r keeps its
+        # own joint-histogram accumulator in scratch across the c sweep.
+        c = pl.program_id(1)
+        r = pl.program_id(2)
 
         @pl.when(c == 0)
         def _():
-            acc_ref[:] = jnp.zeros_like(acc_ref)
+            acc_ref[r] = jnp.zeros_like(acc_ref[r])
 
-        a3 = synth_ref[0]  # [rows, 128] int32 (pad = -1 -> all-zero one-hot)
-        b3 = warp_ref[0]
-        # bin ids along sublanes: one-hot transposed [n_bins, 128] per row.
-        bins_col = jax.lax.broadcasted_iota(jnp.int32, (n_bins, 128), 0)
-        acc = acc_ref[:]
-        for r in range(rows):
-            a_ohT = (a3[r : r + 1, :] == bins_col).astype(jnp.bfloat16)  # [B, 128]
-            b_ohT = (b3[r : r + 1, :] == bins_col).astype(jnp.bfloat16)
+        bins_col = jax.lax.broadcasted_iota(jnp.int32, (n_bins, _JCHUNK), 0)
+
+        @pl.when(r == 0)
+        def _():
+            a = synth_ref[0]  # [8, JCHUNK] int32 (pad = -1 -> all-zero one-hot)
+            for row in range(_JROWS):
+                aoh_ref[row] = (a[row : row + 1, :] == bins_col).astype(jnp.int8)
+
+        b = warp_ref[0]
+        acc = acc_ref[r]
+        for row in range(_JROWS):
+            b_ohT = (b[row : row + 1, :] == bins_col).astype(jnp.int8)
             # J[bin_a, bin_b] += sum_pix a_ohT[bin_a, pix] * b_ohT[bin_b, pix]
             acc = acc + jax.lax.dot_general(
-                a_ohT,
+                aoh_ref[row],
                 b_ohT,
                 dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.int32,
             )
-        acc_ref[:] = acc
+        acc_ref[r] = acc
 
         @pl.when(c == n_chunks - 1)
         def _():
-            p = acc_ref[:] * inv_n
+            p = acc_ref[r].astype(jnp.float32) * inv_n
             plogp = jnp.where(p > 0, p * (jnp.log(jnp.where(p > 0, p, 1.0)) * 1.4426950408889634), 0.0)
             out_ref[0, 0] = jnp.broadcast_to(-jnp.sum(plogp), (8, 128))
 
@@ -144,33 +159,35 @@ def joint_entropy_grid_pallas(
 ) -> jnp.ndarray:
     """All-pairs joint entropies [S, R] in one Pallas dispatch.
 
-    Layout notes for Mosaic: pixel chunks are presented as [CHUNK/128, 128]
+    Layout notes for Mosaic: pixel super-chunks are presented as [8, JCHUNK]
     blocks (sublane x lane aligned); each (s, r) cell's scalar entropy is
     written as an (8, 128) broadcast tile and sliced back to [S, R] outside —
     scalar VMEM outputs don't meet TPU tiling constraints.
     """
     S, P = synth_bins.shape
     R = warp_bins.shape[0]
-    assert P % _CHUNK == 0, f"pad pixel dim to a multiple of {_CHUNK}"
-    n_chunks = P // _CHUNK
-    rows = _CHUNK // 128
+    assert P % _JSUPER == 0, f"pad pixel dim to a multiple of {_JSUPER}"
+    n_chunks = P // _JSUPER
 
-    synth3 = synth_bins.reshape(S, P // 128, 128)
-    warp3 = warp_bins.reshape(R, P // 128, 128)
+    synth3 = synth_bins.reshape(S, P // _JCHUNK, _JCHUNK)
+    warp3 = warp_bins.reshape(R, P // _JCHUNK, _JCHUNK)
 
-    grid = (S, R, n_chunks)
+    grid = (S, n_chunks, R)
     out = pl.pallas_call(
-        _joint_entropy_kernel(n_chunks, n_valid, n_bins),
+        _joint_entropy_kernel(n_chunks, R, n_valid, n_bins),
         out_shape=jax.ShapeDtypeStruct((S, R, 8, 128), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, rows, 128), lambda s, r, c: (s, c, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rows, 128), lambda s, r, c: (r, c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _JROWS, _JCHUNK), lambda s, c, r: (s, c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _JROWS, _JCHUNK), lambda s, c, r: (r, c, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, 8, 128), lambda s, r, c: (s, r, 0, 0), memory_space=pltpu.VMEM
+            (1, 1, 8, 128), lambda s, c, r: (s, r, 0, 0), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[pltpu.VMEM((n_bins, n_bins), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((R, n_bins, n_bins), jnp.int32),
+            pltpu.VMEM((_JROWS, n_bins, _JCHUNK), jnp.int8),
+        ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * S * R * P * n_bins,
@@ -280,7 +297,9 @@ def nmi_scores(
     if use_pallas:
         Ha = marginal_entropy_pallas(pad_pixels(sb), P, n_bins)
         Hb = marginal_entropy_pallas(pad_pixels(wb), P, n_bins)
-        Hab = joint_entropy_grid_pallas(pad_pixels(sb), pad_pixels(wb), P, n_bins)
+        Hab = joint_entropy_grid_pallas(
+            pad_pixels(sb, _JSUPER), pad_pixels(wb, _JSUPER), P, n_bins
+        )
     else:
         Ha = jax.vmap(lambda x: marginal_entropy(x, P, n_bins))(sb)
         Hb = jax.vmap(lambda x: marginal_entropy(x, P, n_bins))(wb)

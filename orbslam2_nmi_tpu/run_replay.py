@@ -32,6 +32,12 @@ def main(argv=None):
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--platform", choices=["tpu", "cpu"], default=None,
                     help="force JAX platform (default: environment)")
+    ap.add_argument("--debug-images", action="store_true",
+                    help="save NMI best/middle overlay images per iteration "
+                         "(the reference's orb_prop_log imagery, Tracking.cc:1911-1948)")
+    ap.add_argument("--profile", metavar="DIR", default=None,
+                    help="capture a jax.profiler trace of the replay into DIR "
+                         "(view with TensorBoard)")
     args = ap.parse_args(argv)
 
     if args.platform == "cpu":
@@ -95,6 +101,20 @@ def main(argv=None):
         frames = ((i, t, img) for i, t, img in seq.frames())
         gt = None
 
+    if args.debug_images and system.localizer is not None:
+        import os
+
+        dbg = os.path.join(args.output, "nmi_debug")
+        os.makedirs(dbg, exist_ok=True)
+        system.localizer.debug_dir = dbg
+
+    profile_ctx = None
+    if args.profile:
+        import jax
+
+        profile_ctx = jax.profiler.trace(args.profile)
+        profile_ctx.__enter__()
+
     n_ok = 0
     n_total = 0
     est, gt_used = [], []
@@ -117,6 +137,9 @@ def main(argv=None):
                 gt_used.append(gt[i])
         if n_total % 100 == 0:
             system.save_full_trajectory("FullTrajectory")
+
+    if profile_ctx is not None:
+        profile_ctx.__exit__(None, None, None)
 
     system.save_full_trajectory("FullTrajectory")
     system.save_keyframe_trajectory_tum("KeyFrameTrajectory.txt")

@@ -39,7 +39,8 @@ import numpy as np
 
 from orbslam2_nmi_tpu.config import CameraConfig, NMIConfig
 from orbslam2_nmi_tpu.geometry import se3
-from orbslam2_nmi_tpu.ops import histogram_nmi, homography, render
+from orbslam2_nmi_tpu.io.model_loader import MeshModel
+from orbslam2_nmi_tpu.ops import histogram_nmi, homography, raster, render
 from orbslam2_nmi_tpu.slam.nmi import search_kernel as sk
 
 
@@ -71,14 +72,34 @@ class NMILocalizer:
         self,
         cfg: NMIConfig,
         camera: CameraConfig,
-        model: render.RenderModel,
+        model: Optional[render.RenderModel],
         log_fn: Optional[Callable[[str], None]] = None,
         image_scale: int = 1,
+        mesh: Optional[MeshModel] = None,
+        force_mesh_raster: bool = False,
     ):
+        """`model` drives the point-splat path (RENDER_POINT_CLOUD, mode 4);
+        passing `mesh` instead selects the tiled triangle rasterizer
+        (RENDER_TEXTURE, mode 1 — rendering.hpp:54-55). Either may be None,
+        not both."""
+        assert model is not None or mesh is not None
         self.cfg = cfg
         self.camera = camera
         self.model = model
+        self.mesh = mesh
+        if (mesh is not None and model is None and not force_mesh_raster
+                and jax.devices()[0].platform != "tpu"):
+            # the Pallas rasterizer would run in interpret mode off-TPU (far
+            # too slow for full frames) — densely point-sample the mesh once
+            # and use the splat renderer instead; same scene, same NMI scores
+            # to within sampling noise (tests/test_raster.py)
+            self.model = render.model_from_pointcloud(render.mesh_to_points(mesh))
+            self.mesh = None
         self.log = log_fn or (lambda s: None)
+        # when set, relocalize_once saves best/middle overlay images here
+        # (the reference's orb_prop_log imagery, Tracking.cc:1911-1948)
+        self.debug_dir: Optional[str] = None
+        self._debug_seq = 0
         # NMI operates on (possibly downscaled) full frames; scale 1 = parity
         self.scale = image_scale
         self.height = camera.height // image_scale
@@ -107,17 +128,39 @@ class NMILocalizer:
         """
         offsets = render.translation_grid_offsets(kernel.num_synth, kernel.step_synth)
         angles = homography.rotation_grid_angles(kernel.num_warp, kernel.step_warp)
-        synth = render.render_translation_grid(
-            self.model,
-            jnp.asarray(Tcw),
-            self.K,
-            offsets,
-            self.height,
-            self.width,
-            self.cfg.render_near,
-            self.cfg.render_far,
-            point_size=max(1, int(round(self.cfg.render_point_size / self.scale))),
-        )
+        if self.mesh is not None:
+            # RENDER_TEXTURE: tiled triangle rasterizer, binned per pose (the
+            # bin margin covers the whole candidate grid so all S renders
+            # share one binning)
+            binned = raster.bin_mesh(
+                self.mesh,
+                np.asarray(Tcw),
+                np.asarray(self.K),
+                self.height,
+                self.width,
+                self.cfg.render_near,
+                self.cfg.render_far,
+                max_offset=float(np.linalg.norm(np.asarray(offsets), axis=-1).max()),
+            )
+            if binned.overflow:
+                self.log(f"NMI raster: {binned.overflow} tile-list entries dropped (capacity)")
+            synth = raster.render_mesh_grid(
+                binned, jnp.asarray(Tcw), self.K, offsets,
+                self.cfg.render_near, self.cfg.render_far,
+                interpret=jax.devices()[0].platform != "tpu",
+            )
+        else:
+            synth = render.render_translation_grid(
+                self.model,
+                jnp.asarray(Tcw),
+                self.K,
+                offsets,
+                self.height,
+                self.width,
+                self.cfg.render_near,
+                self.cfg.render_far,
+                point_size=max(1, int(round(self.cfg.render_point_size / self.scale))),
+            )
         warped = homography.warp_rotation_grid(frame_gray, self.K, angles)
         scores = histogram_nmi.nmi_scores(
             synth, warped, metric=self.cfg.metric, n_bins=self.cfg.n_bins
@@ -134,8 +177,52 @@ class NMILocalizer:
         scores = self.evaluate_grid(frame_gray, Tcw, kernel)
         s_flat, r_flat = np.unravel_index(np.argmax(scores), scores.shape)
         kernel = kernel.with_best_from_flat(int(s_flat), int(r_flat), float(scores[s_flat, r_flat]))
+        if self.debug_dir:
+            self._save_debug_overlays(frame_gray, Tcw, kernel, scores, int(s_flat), int(r_flat))
         Tcw_new = self._apply_best_cell(Tcw, kernel)
         return Tcw_new, kernel
+
+    def _save_debug_overlays(self, frame_gray, Tcw, kernel, scores, s_best, r_best):
+        """Best + middle overlay images with grid metadata in the filename
+        (Tracking.cc:1911-1948: red = camera, green = synthetic)."""
+        import os
+
+        from orbslam2_nmi_tpu.viz.replay import save_nmi_debug_overlay
+
+        offsets = render.translation_grid_offsets(kernel.num_synth, kernel.step_synth)
+        angles = homography.rotation_grid_angles(kernel.num_warp, kernel.step_warp)
+        s_mid = len(offsets) // 2
+        r_mid = angles.shape[0] // 2
+        for tag, s_idx, r_idx in (("best", s_best, r_best), ("middle", s_mid, r_mid)):
+            if self.mesh is not None:
+                binned = raster.bin_mesh(
+                    self.mesh, np.asarray(Tcw), np.asarray(self.K),
+                    self.height, self.width, self.cfg.render_near, self.cfg.render_far,
+                )
+                synth = raster.render_mesh_grid(
+                    binned, jnp.asarray(Tcw), self.K, offsets[s_idx : s_idx + 1],
+                    self.cfg.render_near, self.cfg.render_far,
+                    interpret=jax.devices()[0].platform != "tpu",
+                )[0]
+            else:
+                synth = render.render_pointcloud(
+                    self.model,
+                    jnp.asarray(Tcw).at[:3, 3].add(-offsets[s_idx]),
+                    self.K, self.height, self.width,
+                    self.cfg.render_near, self.cfg.render_far,
+                    point_size=max(1, int(round(self.cfg.render_point_size / self.scale))),
+                )
+            warped = homography.warp_rotation_grid(
+                frame_gray, self.K, angles[r_idx : r_idx + 1]
+            )[0]
+            name = (
+                f"{self._debug_seq:04d}_{tag}_s{s_idx}_r{r_idx}"
+                f"_nmi{float(scores[s_idx, r_idx]):.4f}.png"
+            )
+            save_nmi_debug_overlay(
+                np.asarray(warped), np.asarray(synth), os.path.join(self.debug_dir, name)
+            )
+        self._debug_seq += 1
 
     def _apply_best_cell(self, Tcw: np.ndarray, kernel: sk.SearchKernel) -> np.ndarray:
         """CalculateNMIRelocalization (Tracking.cc:2374-2419): compose the best

@@ -42,12 +42,13 @@ class SLAMSystem:
         self._verbose = verbose
         self._t0 = time.time()
 
+        nmi_mesh = None
         if nmi_model is None and use_nmi:
-            nmi_model = self._load_model_from_config()
+            nmi_model, nmi_mesh = self._load_model_from_config()
         self.map = MapStore(cfg)
         self.localizer = (
-            NMILocalizer(cfg.nmi, cfg.camera, nmi_model, log_fn=self.log)
-            if (use_nmi and nmi_model is not None)
+            NMILocalizer(cfg.nmi, cfg.camera, nmi_model, log_fn=self.log, mesh=nmi_mesh)
+            if (use_nmi and (nmi_model is not None or nmi_mesh is not None))
             else None
         )
         self.local_mapper = LocalMapper(cfg, self.map, log_fn=self.log)
@@ -93,20 +94,22 @@ class SLAMSystem:
     def from_yaml(cls, settings_path: str, **kw) -> "SLAMSystem":
         return cls(load_yaml_config(settings_path), **kw)
 
-    def _load_model_from_config(self) -> Optional[render.RenderModel]:
+    def _load_model_from_config(self):
+        """-> (pointcloud RenderModel | None, MeshModel | None) per render_mode
+        (rendering.hpp:54-55: 1 = textured mesh, 4 = pointcloud)."""
         nmi = self.cfg.nmi
         try:
             if nmi.render_mode == 4 and nmi.model_cloud_path:
                 pc = model_loader.load_xyz_pointcloud(
                     nmi.model_cloud_path, nmi.model_offset_path or None
                 )
-                return render.model_from_pointcloud(pc)
+                return render.model_from_pointcloud(pc), None
             if nmi.model_obj_path:
                 mesh = model_loader.load_obj(nmi.model_obj_path, nmi.model_texture_path or None)
-                return render.model_from_pointcloud(render.mesh_to_points(mesh))
+                return None, mesh
         except FileNotFoundError:
             self.log(f"NMI model not found ({nmi.model_obj_path or nmi.model_cloud_path}); NMI disabled")
-        return None
+        return None, None
 
     # ----------------------------------------------------------------- api
 

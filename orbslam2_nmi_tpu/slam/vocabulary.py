@@ -130,11 +130,97 @@ class Vocabulary:
 
     @staticmethod
     def load(path: str) -> "Vocabulary":
+        """Load either our .npz serialization or a DBoW2 text vocabulary
+        (ORBvoc.txt, optionally .tar.gz/.gz-compressed as released by the
+        reference — System.cc:87 loads the extracted .txt)."""
+        if path.endswith((".txt", ".txt.tar.gz", ".txt.gz", ".tar.gz")):
+            return Vocabulary.load_dbow2_text(path)
         z = np.load(path)
         return Vocabulary(
             k=int(z["k"]), depth=int(z["depth"]), node_desc=z["node_desc"],
             children=z["children"], leaf_id=z["leaf_id"], word_weight=z["word_weight"],
         )
+
+    @staticmethod
+    def load_dbow2_text(path: str) -> "Vocabulary":
+        """Parse DBoW2's TemplatedVocabulary text format (the reference's
+        ORBvoc.txt, loaded by ORBVocabulary::loadFromTextFile via System.cc:87).
+
+        Format: header line `k L scoring weighting`, then one line per non-root
+        node in file order: `parent is_leaf b0 .. b31 weight` (32 descriptor
+        bytes, OpenCV bit order). Node ids are implicit (root = 0, first data
+        line = 1, ...); word ids are assigned to leaves in file order, exactly
+        like DBoW2's loadFromTextFile.
+        """
+        import gzip
+        import tarfile
+
+        if path.endswith(".tar.gz"):
+            with tarfile.open(path, "r:gz") as tf:
+                member = next(m for m in tf.getmembers() if m.name.endswith(".txt"))
+                raw = tf.extractfile(member).read().decode()
+        elif path.endswith(".gz"):
+            with gzip.open(path, "rt") as f:
+                raw = f.read()
+        else:
+            with open(path) as f:
+                raw = f.read()
+        lines = raw.splitlines()
+        k, depth, _scoring, _weighting = (int(x) for x in lines[0].split()[:4])
+
+        n_nodes = 1 + sum(1 for ln in lines[1:] if ln.strip())
+        node_desc = np.zeros((n_nodes, 8), np.uint32)
+        children = np.full((n_nodes, k), -1, np.int32)
+        n_children = np.zeros(n_nodes, np.int32)
+        leaf_id = np.full(n_nodes, -1, np.int32)
+        weights: list[float] = []
+
+        node = 0
+        for ln in lines[1:]:
+            parts = ln.split()
+            if not parts:
+                continue
+            node += 1
+            parent = int(parts[0])
+            is_leaf = int(float(parts[1])) != 0
+            desc_bytes = np.array([int(float(b)) for b in parts[2:34]], np.uint8)
+            node_desc[node] = desc_bytes.view(np.uint32)  # little-endian packing
+            weight = float(parts[34])
+            children[parent, n_children[parent]] = node
+            n_children[parent] += 1
+            if is_leaf:
+                leaf_id[node] = len(weights)
+                weights.append(weight)
+
+        return Vocabulary(
+            k=k,
+            depth=depth,
+            node_desc=node_desc,
+            children=children,
+            leaf_id=leaf_id,
+            word_weight=np.asarray(weights, np.float32),
+        )
+
+    def save_dbow2_text(self, path: str):
+        """Write the DBoW2 text format (interchange with the reference).
+        Inverse of load_dbow2_text; nodes are emitted in index order, which in
+        our construction always places parents before children."""
+        parent = np.zeros(len(self.node_desc), np.int32)
+        for n in range(len(self.node_desc)):
+            for c in self.children[n]:
+                if c >= 0:
+                    parent[c] = n
+        with open(path, "w") as f:
+            f.write(f"{self.k} {self.depth} 0 0\n")
+            for node in range(1, len(self.node_desc)):
+                desc_bytes = self.node_desc[node].view(np.uint8)
+                is_leaf = int(self.leaf_id[node] >= 0)
+                w = self.word_weight[self.leaf_id[node]] if is_leaf else 0.0
+                f.write(
+                    f"{parent[node]} {is_leaf} "
+                    + " ".join(str(int(b)) for b in desc_bytes)
+                    + f" {w}\n"
+                )
 
     # ------------------------------------------------------------- lookup
 

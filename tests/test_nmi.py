@@ -91,7 +91,7 @@ def test_pallas_kernel_matches_reference_interpret():
     """The Pallas joint-entropy kernel (interpreter mode on CPU) must agree
     with the scatter-add reference."""
     rng = np.random.default_rng(4)
-    S, R, P = 3, 4, histogram_nmi._CHUNK * 2
+    S, R, P = 3, 4, histogram_nmi._JSUPER
     sb = jnp.asarray(rng.integers(0, 256, (S, P)), jnp.int32)
     wb = jnp.asarray(rng.integers(0, 256, (R, P)), jnp.int32)
     ref = np.asarray(
@@ -118,7 +118,10 @@ def test_pallas_kernel_handles_padding():
     ref = float(histogram_nmi.joint_entropy_reference(sb[0], wb[0], P))
     out = float(
         histogram_nmi.joint_entropy_grid_pallas(
-            histogram_nmi.pad_pixels(sb), histogram_nmi.pad_pixels(wb), P, interpret=True
+            histogram_nmi.pad_pixels(sb, histogram_nmi._JSUPER),
+            histogram_nmi.pad_pixels(wb, histogram_nmi._JSUPER),
+            P,
+            interpret=True,
         )[0, 0]
     )
     assert abs(out - ref) < 1e-3

@@ -54,6 +54,39 @@ def test_vocab_save_load(vocab, tmp_path):
     np.testing.assert_array_equal(vocab.quantize(d), v2.quantize(d))
 
 
+def test_vocab_dbow2_text_roundtrip(vocab, tmp_path):
+    """DBoW2 text format (the reference's ORBvoc.txt layout) round-trips:
+    same quantization and same word weights after export + import."""
+    p = str(tmp_path / "voc.txt")
+    vocab.save_dbow2_text(p)
+    v2 = Vocabulary.load(p)
+    assert v2.k == vocab.k and v2.n_words == vocab.n_words
+    np.testing.assert_allclose(v2.word_weight, vocab.word_weight, rtol=1e-6)
+    rng = np.random.default_rng(7)
+    d = rand_desc(rng, 100)
+    np.testing.assert_array_equal(vocab.quantize(d), v2.quantize(d))
+
+
+def test_vocab_dbow2_text_parses_reference_style(tmp_path):
+    """A hand-written file in the exact ORBvoc.txt line format parses: k-ary
+    tree, float-formatted is_leaf/byte fields (DBoW2 writes them as numbers
+    that may carry decimal points), word ids in file order."""
+    lines = ["2 1 0 0"]
+    # two leaves under the root, 32 bytes each, weights 0.5 / 1.5
+    lines.append("0 1 " + " ".join(["255"] * 32) + " 0.5")
+    lines.append("0 1 " + " ".join(["0"] * 32) + " 1.5")
+    p = str(tmp_path / "small_voc.txt")
+    with open(p, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    v = Vocabulary.load(p)
+    assert v.n_words == 2
+    np.testing.assert_allclose(v.word_weight, [0.5, 1.5])
+    ones = np.full((1, 8), 0xFFFFFFFF, np.uint32)
+    zeros = np.zeros((1, 8), np.uint32)
+    assert v.quantize(ones)[0] == 0
+    assert v.quantize(zeros)[0] == 1
+
+
 def test_bow_self_similarity(vocab):
     rng = np.random.default_rng(4)
     d1 = rand_desc(rng, 200)
@@ -119,6 +152,54 @@ def test_pnp_ransac_with_outliers():
 
 
 # ---------------------------------------------------------------- Sim3
+
+
+def test_epnp_minimal_solver_exact():
+    """epnp_pose on clean correspondences recovers the exact pose (<0.5 px)."""
+    rng = np.random.default_rng(11)
+    K = jnp.asarray(np.array([[300.0, 0, 160], [0, 300.0, 120], [0, 0, 1]], np.float32))
+    R_true = np.asarray(se3.so3_exp(jnp.asarray([0.1, -0.2, 0.15], jnp.float32)))
+    t_true = np.array([0.3, -0.2, 0.5], np.float32)
+    pw = rng.uniform(-2, 2, (24, 3)).astype(np.float32)
+    pw[:, 2] += 6.0
+    pc = pw @ R_true.T + t_true
+    uv = np.stack(
+        [300.0 * pc[:, 0] / pc[:, 2] + 160.0, 300.0 * pc[:, 1] / pc[:, 2] + 120.0], -1
+    ).astype(np.float32)
+    w = np.zeros(24, np.float32)
+    w[[0, 5, 11, 17, 20, 23]] = 1.0  # 6-point sample
+    T = np.asarray(pnp.epnp_pose(K, jnp.asarray(pw), jnp.asarray(uv), jnp.asarray(w)))
+    err = np.asarray(pnp._reproj_err2(K, jnp.asarray(T), jnp.asarray(pw), jnp.asarray(uv)))
+    assert np.sqrt(err.max()) < 0.5, np.sqrt(err.max())
+
+
+def test_epnp_ransac_with_outliers():
+    """EPnP RANSAC (sample size 4, the reference's mRansacMinSet) rejects 35%
+    outliers and recovers the pose."""
+    rng = np.random.default_rng(12)
+    K = jnp.asarray(np.array([[300.0, 0, 160], [0, 300.0, 120], [0, 0, 1]], np.float32))
+    R_true = np.asarray(se3.so3_exp(jnp.asarray([-0.05, 0.12, 0.04], jnp.float32)))
+    t_true = np.array([0.1, 0.25, -0.3], np.float32)
+    n = 80
+    pw = rng.uniform(-3, 3, (n, 3)).astype(np.float32)
+    pw[:, 2] += 8.0
+    pc = pw @ R_true.T + t_true
+    uv = np.stack(
+        [300.0 * pc[:, 0] / pc[:, 2] + 160.0, 300.0 * pc[:, 1] / pc[:, 2] + 120.0], -1
+    ).astype(np.float32)
+    uv += rng.normal(0, 0.3, uv.shape).astype(np.float32)
+    n_out = int(0.35 * n)
+    uv[:n_out] = rng.uniform(0, 320, (n_out, 2)).astype(np.float32)
+    res = pnp.pnp_ransac(
+        jax.random.PRNGKey(0), K, jnp.asarray(pw), jnp.asarray(uv),
+        jnp.ones(n), jnp.ones(n, bool), solver="epnp",
+    )
+    assert bool(res.ok)
+    T_true = np.eye(4, dtype=np.float32)
+    T_true[:3, :3] = R_true
+    T_true[:3, 3] = t_true
+    d = np.asarray(se3.se3_log(jnp.asarray(np.linalg.inv(T_true) @ np.asarray(res.Tcw))))
+    assert np.linalg.norm(d[:3]) < 0.05 and np.linalg.norm(d[3:]) < 0.01
 
 
 def test_sim3_ransac_recovers_similarity():
