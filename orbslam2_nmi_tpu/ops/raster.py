@@ -15,13 +15,12 @@ stages (SURVEY.md §7.5a "hard part #1"):
   2. **Pallas raster kernel**, grid = (candidate, tile): each invocation
      re-projects its tile's triangles for its candidate camera (vector math
      with triangles in the lane dim), assembles edge + 1/z plane coefficients,
-     and evaluates each plane at all 2048 tile pixels with one MXU matmul
+     and evaluates each plane at all tile pixels with one MXU matmul
      [pixels, 8] @ [8, 128] per 128-triangle chunk. The z-buffer is an
-     integer min over a packed (quantized 1/z << 11 | local-id) key — no
-     atomics, no scatter, same trick as the point-splat renderer. A second
-     chunk pass re-evaluates the winner's perspective-correct UV planes
-     (selecting lanes whose key equals the per-pixel min), so the kernel
-     emits (key, u, v) per pixel and no per-pixel vertex gathers are ever
+     integer min over packed (quantized 1/z << 11 | quantized u-or-v) keys —
+     no atomics, no scatter, same trick as the point-splat renderer, and a
+     SINGLE pass: the winner's perspective-correct UV rides in the low bits
+     of two depth-keyed mins, so no per-pixel vertex gathers are ever
      needed.
   3. **Texture sampling without gathers**: TPU gathers are ~100 ms for a
      frame batch, so bilinear sampling is a weighted TWO-HOT matmul instead —
@@ -54,9 +53,11 @@ from orbslam2_nmi_tpu.io.model_loader import MeshModel
 
 TILE_H = 16
 TILE_W = 128
-_PIX = TILE_H * TILE_W  # 2048
-ID_BITS = 11  # local triangle index within a tile's list
-MAX_CAPACITY = 1 << ID_BITS  # 2048 triangles per tile
+_PIX = TILE_H * TILE_W  # pixels per tile
+ID_BITS = 11  # low bits of the packed z-key (quantized UV lives there)
+UV_MAX_P1 = 1 << ID_BITS
+UV_MAX = float(UV_MAX_P1 - 1)
+MAX_CAPACITY = 2048  # triangles per tile list (kernel chunks of 128)
 DEPTH_LEVELS = 1 << 20
 SENTINEL = np.int32(2**31 - 1)
 MAX_TEX_DIM = 512  # the matmul sampler is O(Th*Tw) per tile; cap and downsample
@@ -107,15 +108,18 @@ def bin_mesh(
     width: int,
     near: float,
     far: float,
-    max_offset: float = 0.0,
+    max_offset=0.0,
     capacity_cap: int = MAX_CAPACITY,
 ) -> BinnedMesh:
     """Bin triangles into screen tiles at the grid-center pose (host, numpy).
 
-    `max_offset` is the largest translation-candidate offset norm; each
-    triangle's bounding box is inflated by the worst-case pixel shift that
-    offset can cause (~f*off/z) so one binning is conservative for every
-    candidate in the grid.
+    `max_offset` is the largest translation-candidate offset per CAMERA AXIS
+    (scalar = same bound for all three); each triangle's bounding box is
+    inflated by the worst-case pixel shift those offsets can cause so one
+    binning is conservative for every candidate in the grid. The margins are
+    per-axis and position-dependent — x/y offsets shift by ~f*off/z while a z
+    offset scales radially by |u - c|*oz/(z - oz) — which keeps tile occupancy
+    (and kernel time) roughly half of what an isotropic bound costs.
     """
     Tcw_center = np.asarray(Tcw_center, np.float64)
     K = np.asarray(K, np.float64)
@@ -132,11 +136,16 @@ def bin_mesh(
     tv = w_px[f]
     # keep faces fully in front of the near plane and not entirely past far
     keep = (tz.min(1) > near) & (tz.min(1) < far)
-    margin = 2.0 + max(K[0, 0], K[1, 1]) * max_offset / np.maximum(tz.min(1), 1e-3)
-    x_lo = np.floor(tu.min(1) - margin).astype(np.int64)
-    x_hi = np.ceil(tu.max(1) + margin).astype(np.int64)
-    y_lo = np.floor(tv.min(1) - margin).astype(np.int64)
-    y_hi = np.ceil(tv.max(1) + margin).astype(np.int64)
+    off = np.broadcast_to(np.abs(np.asarray(max_offset, np.float64)), (3,))
+    zmin = np.maximum(tz.min(1), 1e-3)
+    z_after = np.maximum(zmin - off[2], 0.5 * zmin)  # worst-case z shrink
+    radial = off[2] / z_after  # |u-c| scale factor from the z offset
+    mx = 2.0 + K[0, 0] * off[0] / z_after + np.abs(tu - K[0, 2]).max(1) * radial
+    my = 2.0 + K[1, 1] * off[1] / z_after + np.abs(tv - K[1, 2]).max(1) * radial
+    x_lo = np.floor(tu.min(1) - mx).astype(np.int64)
+    x_hi = np.ceil(tu.max(1) + mx).astype(np.int64)
+    y_lo = np.floor(tv.min(1) - my).astype(np.int64)
+    y_hi = np.ceil(tv.max(1) + my).astype(np.int64)
     keep &= (x_hi >= 0) & (x_lo < width) & (y_hi >= 0) & (y_lo < height)
 
     tiles_y = _pad_up(height, TILE_H) // TILE_H
@@ -235,7 +244,6 @@ def _raster_kernel(capacity: int, fx: float, fy: float, cx: float, cy: float,
         yl = (pidx // TILE_W).astype(jnp.float32)
         pix = jnp.where(col == 0, xl, jnp.where(col == 1, yl, jnp.where(col == 2, 1.0, 0.0)))
 
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
         row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
         r0 = (row == 0).astype(jnp.float32)
         r1 = (row == 1).astype(jnp.float32)
@@ -295,36 +303,44 @@ def _raster_kernel(capacity: int, fx: float, fy: float, cx: float, cy: float,
                 )
 
             ZI = bary_plane(zi0, zi1, zi2)  # 1/z at each pixel
-            inside = (E0 >= 0) & (E1 >= 0) & (E2 >= 0) & ok  # ok broadcasts
-            q = jnp.clip((ZI * qscale), 0, DEPTH_LEVELS - 1).astype(jnp.int32)
-            key = (DEPTH_LEVELS - 1 - q) * (1 << ID_BITS) + (lane + c * 128)
-            key = jnp.where(inside, key, SENTINEL)
-            uv_data = (td, zi0, zi1, zi2, bary_plane, ZI)
-            return key, uv_data
-
-        # pass 1: z-buffer as an integer min over all chunks
-        best = jnp.full((_PIX, 1), SENTINEL, jnp.int32)
-        for c in range(n_chunks):
-            key, _ = chunk_planes(c)
-            best = jnp.minimum(best, jnp.min(key, axis=1, keepdims=True))
-
-        # pass 2: winner's perspective-correct UV (lane whose key == min)
-        win_u = jnp.zeros((_PIX, 1), jnp.float32)
-        win_v = jnp.zeros((_PIX, 1), jnp.float32)
-        for c in range(n_chunks):
-            key, (td, zi0, zi1, zi2, bary_plane, ZI) = chunk_planes(c)
             UZ = bary_plane(td[9:10, :] * zi0, td[11:12, :] * zi1, td[13:14, :] * zi2)
             VZ = bary_plane(td[10:11, :] * zi0, td[12:13, :] * zi1, td[14:15, :] * zi2)
             zs = jnp.where(jnp.abs(ZI) > 1e-12, ZI, 1.0)
-            # exactly the winning lane matches (the id bits make keys unique);
-            # exclude sentinels so empty pixels don't sum over every lane
-            match = (key == best) & (key != SENTINEL)
-            win_u = win_u + jnp.sum(jnp.where(match, UZ / zs, 0.0), axis=1, keepdims=True)
-            win_v = win_v + jnp.sum(jnp.where(match, VZ / zs, 0.0), axis=1, keepdims=True)
+            inside = (E0 >= 0) & (E1 >= 0) & (E2 >= 0) & ok  # ok broadcasts
 
-        key_ref[0, 0] = best.reshape(TILE_H, TILE_W)
-        u_ref[0, 0] = win_u.reshape(TILE_H, TILE_W)
-        v_ref[0, 0] = win_v.reshape(TILE_H, TILE_W)
+            # SINGLE-pass z-buffer: instead of a (depth | triangle-id) key +
+            # a second pass to fetch the winner's UV, pack the quantized UV
+            # directly into two depth-keyed mins. The low UV_BITS quantize u/v
+            # to 1/(2^UV_BITS-1) of the texture span (4x subtexel at
+            # MAX_TEX_DIM) — ties only happen between equal-quantized-depth
+            # triangles, i.e. shared-edge neighbors whose UVs agree anyway.
+            q = jnp.clip((ZI * qscale), 0, DEPTH_LEVELS - 1).astype(jnp.int32)
+            dk = (DEPTH_LEVELS - 1 - q) * (1 << ID_BITS)
+            uq = jnp.clip(UZ / zs * UV_MAX, 0, UV_MAX).astype(jnp.int32)
+            vq = jnp.clip(VZ / zs * UV_MAX, 0, UV_MAX).astype(jnp.int32)
+            key_u = jnp.where(inside, dk + uq, SENTINEL)
+            key_v = jnp.where(inside, dk + vq, SENTINEL)
+            return key_u, key_v
+
+        # elementwise min across chunks ([PIX, 128] accumulators), ONE
+        # cross-lane reduction at the end — per-chunk lane reductions are the
+        # slow shape on the VPU
+        acc_u = jnp.full((_PIX, 128), SENTINEL, jnp.int32)
+        acc_v = jnp.full((_PIX, 128), SENTINEL, jnp.int32)
+        for c in range(n_chunks):
+            key_u, key_v = chunk_planes(c)
+            acc_u = jnp.minimum(acc_u, key_u)
+            acc_v = jnp.minimum(acc_v, key_v)
+        best_u = jnp.min(acc_u, axis=1, keepdims=True)
+        best_v = jnp.min(acc_v, axis=1, keepdims=True)
+
+        key_ref[0, 0] = best_u.reshape(TILE_H, TILE_W)
+        u_ref[0, 0] = ((best_u & (UV_MAX_P1 - 1)).astype(jnp.float32) / UV_MAX).reshape(
+            TILE_H, TILE_W
+        )
+        v_ref[0, 0] = ((best_v & (UV_MAX_P1 - 1)).astype(jnp.float32) / UV_MAX).reshape(
+            TILE_H, TILE_W
+        )
 
     return kernel
 
@@ -345,7 +361,7 @@ def _rasterize_keys(
     interpret: bool = False,
 ):
     """(keys int32, u f32, v f32), each [S, n_tiles, TILE_H, TILE_W]:
-    packed (depth, local-id) z-buffer keys + the winner's texture UVs."""
+    packed z-buffer keys (SENTINEL = no hit) + the winner's texture UVs."""
     n_tiles = tri_data.shape[0]
     S = poses.shape[0]
     shape = (S, n_tiles, TILE_H, TILE_W)
@@ -391,15 +407,18 @@ def render_mesh_grid(
     Same calculateTranslation semantics as render.render_translation_grid
     (rendering.hpp:644-665): candidate s uses t' = t - offsets_cam[s].
     """
-    K = jnp.asarray(K, jnp.float32)
+    # intrinsics are baked into the kernel as static scalars, so K must be a
+    # HOST array (numpy or a concrete device array) — never a tracer. Tcw and
+    # offsets_cam may be traced.
+    K_host = np.asarray(K, np.float32)
     Tcw = jnp.asarray(Tcw, jnp.float32)
     S = offsets_cam.shape[0]
     R = Tcw[:3, :3]
     t_all = Tcw[:3, 3][None, :] - offsets_cam  # [S, 3]
     poses = jnp.concatenate([jnp.tile(R.reshape(1, 9), (S, 1)), t_all], axis=1)
 
-    fx, fy = float(K[0, 0]), float(K[1, 1])
-    cx, cy = float(K[0, 2]), float(K[1, 2])
+    fx, fy = float(K_host[0, 0]), float(K_host[1, 1])
+    cx, cy = float(K_host[0, 2]), float(K_host[1, 2])
     keys, uu, vv = _rasterize_keys(
         binned.tri_data, poses, binned.capacity, fx, fy, cx, cy, float(near),
         binned.tiles_x, interpret=interpret,

@@ -140,7 +140,7 @@ class NMILocalizer:
                 self.width,
                 self.cfg.render_near,
                 self.cfg.render_far,
-                max_offset=float(np.linalg.norm(np.asarray(offsets), axis=-1).max()),
+                max_offset=np.abs(np.asarray(offsets)).max(axis=0),
             )
             if binned.overflow:
                 self.log(f"NMI raster: {binned.overflow} tile-list entries dropped (capacity)")
