@@ -32,6 +32,10 @@ def main(argv=None):
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--platform", choices=["tpu", "cpu"], default=None,
                     help="force JAX platform (default: environment)")
+    ap.add_argument("--async-mapping", action="store_true",
+                    help="run local mapping + loop closing in a background "
+                         "worker (the reference's thread layout); default is "
+                         "the deterministic synchronous interleave")
     ap.add_argument("--debug-images", action="store_true",
                     help="save NMI best/middle overlay images per iteration "
                          "(the reference's orb_prop_log imagery, Tracking.cc:1911-1948)")
@@ -77,7 +81,8 @@ def main(argv=None):
                 points=jnp.asarray(world.points), gray=jnp.asarray(world.gray)
             )
         system = SLAMSystem(cfg, nmi_model=model, use_nmi=use_nmi,
-                            output_dir=args.output, verbose=args.verbose)
+                            output_dir=args.output, verbose=args.verbose,
+                            async_mapping=args.async_mapping)
         system.set_init_poses(world.pose_at(0, n), world.pose_at(cfg.nmi.offset, n))
         frames = ((i, i / cfg.camera.fps, world.render_frame(i, n, W, H)) for i in range(n))
         gt = [world.pose_at(i, n) for i in range(n)]
@@ -97,7 +102,7 @@ def main(argv=None):
         else:
             seq = load_newer_college_sequence(args.sequence, start_frame=args.start_frame)
         system = SLAMSystem(cfg, use_nmi=not args.no_nmi, output_dir=args.output,
-                            verbose=args.verbose)
+                            verbose=args.verbose, async_mapping=args.async_mapping)
         frames = ((i, t, img) for i, t, img in seq.frames())
         gt = None
 

@@ -49,15 +49,24 @@ class LocalMapper:
 
     # ------------------------------------------------------------- pipeline
 
-    def process_keyframe(self, k: int):
-        self._refresh_point_stats(k)
-        self._cull_recent_points(k)
-        self._create_new_map_points(k)
-        self._fuse_neighbors(k)
-        if self.map.n_keyframes > 2:
+    def process_keyframe(self, k: int, abort_fn=None):
+        """LocalMapping::Run body for one queued KF (LocalMapping.cc:50-115).
+
+        `abort_fn` is the InterruptBA hook (LocalMapping.cc mbAbortBA): when it
+        returns True (a newer KF is already queued), the local BA is skipped —
+        it reruns at the newer KF, which is the reference's net behavior. Map
+        mutations run under the map lock; the BA device solve does not.
+        """
+        with self.map.lock:
+            self._refresh_point_stats(k)
+            self._cull_recent_points(k)
+            self._create_new_map_points(k)
+            self._fuse_neighbors(k)
+        if self.map.n_keyframes > 2 and not (abort_fn and abort_fn()):
             self.local_bundle_adjust(k)
-        if self.enable_kf_culling:
-            self._cull_keyframes(k)
+        with self.map.lock:
+            if self.enable_kf_culling:
+                self._cull_keyframes(k)
 
     def _refresh_point_stats(self, k: int):
         for f in np.nonzero(self.map.kf_mp_idx[k] >= 0)[0]:
@@ -267,7 +276,24 @@ class LocalMapper:
 
     def local_bundle_adjust(self, k: int):
         """Optimizer::LocalBundleAdjustment (Optimizer.cc:472): covisible KFs
-        free (NMI-anchored + KF 0 fixed), observer-only KFs fixed."""
+        free (NMI-anchored + KF 0 fixed), observer-only KFs fixed.
+
+        Snapshot and write-back hold the map lock; the device solve runs
+        unlocked so an async tracking thread is never blocked on BA."""
+        with self.map.lock:
+            snap = self._ba_snapshot(k)
+        if snap is None:
+            return
+        prob, cams, pts, fixed, oc, op, O, n_local = snap
+        res = local_ba.bundle_adjust(
+            prob,
+            iters1=self.cfg.tracking.local_ba_iters1,
+            iters2=self.cfg.tracking.local_ba_iters2,
+        )
+        with self.map.lock:
+            self._ba_apply(res, cams, pts, fixed, oc, op, O, n_local)
+
+    def _ba_snapshot(self, k: int):
         m = self.map
         local = [k] + [int(x) for x in self.map.covisible_keyframes(k)]
         local = local[:24]
@@ -275,7 +301,7 @@ class LocalMapper:
         pts = pts[pts >= 0]
         pts = pts[m.mp_valid[pts]]
         if len(pts) < 10:
-            return
+            return None
         # fixed observers: KFs seeing these points but not in `local`
         observers = set()
         for p in pts:
@@ -298,7 +324,7 @@ class LocalMapper:
                 obs_w.append(self.inv_sigma2[m.kf_feat_octave[kk, ff]])
         O = len(obs_cam)
         if O < 20:
-            return
+            return None
 
         C = _next_pow2(len(cams), 8)
         P = _next_pow2(len(pts), 256)
@@ -341,18 +367,19 @@ class LocalMapper:
             obs_inv_sigma2=jnp.asarray(ow),
             obs_valid=jnp.asarray(ovalid),
         )
-        res = local_ba.bundle_adjust(
-            prob,
-            iters1=self.cfg.tracking.local_ba_iters1,
-            iters2=self.cfg.tracking.local_ba_iters2,
-        )
+        return prob, cams, pts, fixed, oc, op, O, len(local)
+
+    def _ba_apply(self, res, cams, pts, fixed, oc, op, O, n_local):
+        m = self.map
         new_cams = np.asarray(res.cam_Tcw)
         new_pts = np.asarray(res.pts_w)
         inlier = np.asarray(res.obs_inlier)
         for i, kf in enumerate(cams):
-            if not fixed[i]:
+            if not fixed[i] and m.kf_valid[kf]:
                 m.kf_Tcw[kf] = new_cams[i]
-        m.mp_pos[pts] = new_pts[: len(pts)]
+        # skip points culled/replaced while the (unlocked) solve ran
+        still = m.mp_valid[pts]
+        m.mp_pos[pts[still]] = new_pts[: len(pts)][still]
         # drop outlier observations (Optimizer.cc:725 recollection)
         inv_cam = {i: kf for i, kf in enumerate(cams)}
         dropped = 0
@@ -366,7 +393,7 @@ class LocalMapper:
                     dropped += 1
                     break
         self.log(
-            f"local BA: {len(local)} KFs ({int(fixed[:len(cams)].sum())} fixed), "
+            f"local BA: {n_local} KFs ({int(fixed[:len(cams)].sum())} fixed), "
             f"{len(pts)} pts, {O} obs, dropped {dropped}"
         )
 

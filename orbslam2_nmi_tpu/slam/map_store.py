@@ -65,6 +65,13 @@ class MapStore:
     n_points: int = 0
 
     def __post_init__(self):
+        import threading
+
+        # map-update mutex (the reference's Map::mMutexMapUpdate, held across
+        # Track() — Tracking.cc:377 — and by the mapping thread around map
+        # mutations). Reentrant so the synchronous single-thread pipeline is
+        # unchanged.
+        self.lock = threading.RLock()
         t = self.cfg.tracking
         K, P, F = t.max_keyframes, t.max_map_points, t.max_features
         M = MAX_OBS_PER_POINT

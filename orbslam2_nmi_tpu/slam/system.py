@@ -3,10 +3,12 @@
 TPU-native equivalent of ORB_SLAM2::System (reference: src/System.cc:50-141
 ctor, TrackMonocular :246, Shutdown :329, SaveFullTrajectory :514,
 SaveKeyFrameTrajectoryTUM :417). The reference spawns LocalMapping /
-LoopClosing / Viewer threads (System.cc:116-126); here the pipeline is
-step-interleaved (SURVEY.md §2.4 P1): local mapping runs synchronously per
-keyframe, loop closing per keyframe batch — same effects, deterministic
-execution, no mutexes.
+LoopClosing / Viewer threads (System.cc:116-126); here both schedules exist
+(SURVEY.md §2.4 P1): the default is a deterministic step-interleave (local
+mapping runs synchronously per keyframe), and `async_mapping=True` moves
+local mapping + loop closing to a background worker guarded by the map-update
+lock (slam/pipeline.py) so tracking never blocks on BA — the reference's
+thread semantics.
 """
 
 from __future__ import annotations
@@ -34,7 +36,12 @@ class SLAMSystem:
         use_nmi: bool = True,
         output_dir: Optional[str] = None,
         verbose: bool = False,
+        async_mapping: bool = False,
     ):
+        """`async_mapping=True` runs local mapping + loop closing in a
+        background worker (the reference's thread layout, System.cc:116-120):
+        tracking never blocks on BA. Default is the deterministic synchronous
+        interleave (same math, reproducible ordering)."""
         self.cfg = cfg
         self.output_dir = output_dir or cfg.output_dir
         os.makedirs(self.output_dir, exist_ok=True)
@@ -66,6 +73,11 @@ class SLAMSystem:
             cfg, self.map, self.local_mapper, self.localizer, log_fn=self.log,
             system=self,
         )
+        self.pipeline = None
+        if async_mapping:
+            from orbslam2_nmi_tpu.slam.pipeline import MappingPipeline
+
+            self.pipeline = MappingPipeline(self)
         self.frame_times: list[float] = []
 
     def _build_place_recognition(self):
@@ -114,7 +126,12 @@ class SLAMSystem:
     # ----------------------------------------------------------------- api
 
     def track_monocular(self, gray_u8: np.ndarray, timestamp: float, frame_id: Optional[int] = None) -> TrackResult:
-        """System::TrackMonocular (System.cc:246) -> Tracking::GrabImageMonocular."""
+        """System::TrackMonocular (System.cc:246) -> Tracking::GrabImageMonocular.
+
+        The tracker takes the map-update lock internally after feature
+        extraction, matching the reference (Frame construction precedes the
+        Tracking.cc:377 mutex) so the mapping worker can run during ORB
+        extraction."""
         if frame_id is None:
             frame_id = len(self.frame_times)
         t0 = time.time()
@@ -159,17 +176,20 @@ class SLAMSystem:
         from orbslam2_nmi_tpu.slam import checkpoint
 
         tr = self.tracker
-        checkpoint.save_map(
-            path,
-            self.map,
-            {
-                "ref_kf": tr.ref_kf,
-                "last_kf_frame_id": tr.last_kf_frame_id,
-                "kfs_since_last_nmi": tr.kfs_since_last_nmi,
-                "dist_since_nmi": tr.dist_since_nmi,
-                "rot_since_nmi": tr.rot_since_nmi,
-            },
-        )
+        if self.pipeline is not None:
+            self.pipeline.flush()
+        with self.map.lock:
+            checkpoint.save_map(
+                path,
+                self.map,
+                {
+                    "ref_kf": tr.ref_kf,
+                    "last_kf_frame_id": tr.last_kf_frame_id,
+                    "kfs_since_last_nmi": tr.kfs_since_last_nmi,
+                    "dist_since_nmi": tr.dist_since_nmi,
+                    "rot_since_nmi": tr.rot_since_nmi,
+                },
+            )
 
     def load_map(self, path: str):
         from orbslam2_nmi_tpu.slam import checkpoint
@@ -196,6 +216,10 @@ class SLAMSystem:
 
     def shutdown(self):
         """System::Shutdown (System.cc:329): flush outputs, report timing."""
+        if self.pipeline is not None:
+            self.pipeline.shutdown()
+            for err in self.pipeline.errors():
+                self.log(f"mapping worker error:\n{err}")
         if self.frame_times:
             ft = np.array(self.frame_times)
             self.log(

@@ -119,9 +119,14 @@ class Tracker:
     # ------------------------------------------------------------ per frame
 
     def process_frame(self, frame_id: int, timestamp: float, gray_u8: np.ndarray) -> TrackResult:
+        # feature extraction runs outside the map lock (Frame construction
+        # precedes the Tracking.cc:377 mutex in the reference)
         self._gray = gray_u8
         frame = self._make_frame(frame_id, timestamp, gray_u8)
+        with self.map.lock:
+            return self._process_tracked_frame(frame_id, timestamp, frame)
 
+    def _process_tracked_frame(self, frame_id, timestamp, frame) -> TrackResult:
         if self.state == TrackingState.NOT_INITIALIZED:
             res = self._initialize(frame)
         else:
@@ -632,16 +637,26 @@ class Tracker:
         )
         self.ref_kf = k
         self.last_kf_frame_id = frame.frame_id
-        if self.local_mapper is not None:
-            self.local_mapper.process_keyframe(k)
-            frame.Tcw = self.map.kf_Tcw[k].copy()
-        # place recognition: train vocab on first KF if needed, feed the
-        # loop closer (LoopClosing::InsertKeyFrame, LocalMapping.cc:90)
-        if self.system is not None:
-            self.system.ensure_vocabulary(frame.desc, frame.valid)
-            if self.system.loop_closer is not None:
-                if self.system.loop_closer.process_keyframe(k):
-                    frame.Tcw = self.map.kf_Tcw[k].copy()
+        pipeline = getattr(self.system, "pipeline", None) if self.system is not None else None
+        if pipeline is not None:
+            # async mode: hand the KF to the mapping worker and return —
+            # tracking never blocks on BA (LocalMapping::InsertKeyFrame,
+            # Tracking.cc:1387). BA-refined poses reach later frames through
+            # the shared map under the map lock.
+            if self.system is not None:
+                self.system.ensure_vocabulary(frame.desc, frame.valid)
+            pipeline.insert_keyframe(k)
+        else:
+            if self.local_mapper is not None:
+                self.local_mapper.process_keyframe(k)
+                frame.Tcw = self.map.kf_Tcw[k].copy()
+            # place recognition: train vocab on first KF if needed, feed the
+            # loop closer (LoopClosing::InsertKeyFrame, LocalMapping.cc:90)
+            if self.system is not None:
+                self.system.ensure_vocabulary(frame.desc, frame.valid)
+                if self.system.loop_closer is not None:
+                    if self.system.loop_closer.process_keyframe(k):
+                        frame.Tcw = self.map.kf_Tcw[k].copy()
         self.log(f"frame {frame.frame_id}: new keyframe {k}")
 
     # -------------------------------------------------------- relocalization

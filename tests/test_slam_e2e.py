@@ -102,3 +102,44 @@ def test_outputs_reference_format(world_and_frames, tmp_path):
     assert all(len(l.split()) == 8 for l in kf)
     xyz = np.loadtxt(tmp_path / "Map.xyz")
     assert xyz.shape[1] == 3 and len(xyz) > 50
+
+
+def test_async_pipeline_tracks_sequence(world_and_frames):
+    """Same sequence through the asynchronous mapping worker (the reference's
+    LocalMapping/LoopClosing thread layout): tracking must stay healthy, the
+    worker must drain cleanly, and accuracy must stay in the same band."""
+    world, frames = world_and_frames
+    K = world.camera_K(W, H)
+    cfg = SystemConfig(
+        camera=CameraConfig(
+            fx=float(K[0, 0]), fy=float(K[1, 1]), cx=float(K[0, 2]), cy=float(K[1, 2]),
+            width=W, height=H, fps=10.0,
+        ),
+        orb=ORBConfig(n_features=400, n_levels=4),
+        nmi=NMIConfig(offset=4, threshold=0.3),
+        tracking=TrackingConfig(
+            max_frames=10, max_keyframes=64, max_map_points=8192, max_features=512
+        ),
+    )
+    import tempfile
+
+    sys_ = SLAMSystem(cfg, use_nmi=False, output_dir=tempfile.mkdtemp(),
+                      async_mapping=True)
+    assert sys_.pipeline is not None
+    sys_.set_init_poses(world.pose_at(0, N_FRAMES), world.pose_at(4, N_FRAMES))
+
+    est, gt = [], []
+    n_ok = 0
+    for i, img in enumerate(frames):
+        res = sys_.track_monocular(img, i / 10.0)
+        if res.state == TrackingState.OK and res.Tcw is not None:
+            n_ok += 1
+            est.append(res.Tcw)
+            gt.append(world.pose_at(i, N_FRAMES))
+    assert sys_.pipeline.flush(timeout=120.0), "mapping worker failed to drain"
+    assert sys_.pipeline.errors() == []
+    assert n_ok >= N_FRAMES - 8, f"only {n_ok} frames tracked"
+    assert sys_.map.n_keyframes >= 3
+    err = ate_rmse(est, gt, align=False)
+    assert err < 0.8, f"async ATE {err:.3f} m"
+    sys_.shutdown()
