@@ -26,6 +26,7 @@ from orbslam2_nmi_tpu.config import SystemConfig
 from orbslam2_nmi_tpu.ops import matching, triangulate
 from orbslam2_nmi_tpu.slam.map_store import MapStore
 from orbslam2_nmi_tpu.solvers import local_ba
+from orbslam2_nmi_tpu.utils.bucketing import bucket, pad_rows, row_mask
 
 
 def _next_pow2(n: int, lo: int = 64) -> int:
@@ -174,18 +175,19 @@ class LocalMapper:
         if len(f1s) == 0:
             return 0
         f2s = idx[f1s]
+        nb = bucket(len(f1s))
         tri = triangulate.triangulate_and_gate(
             jnp.asarray(self.K),
             jnp.asarray(m.kf_Tcw[k1]),
             jnp.asarray(m.kf_Tcw[k2]),
-            jnp.asarray(xy1[f1s]),
-            jnp.asarray(xy2[f2s]),
-            jnp.asarray(self.inv_sigma2[m.kf_feat_octave[k1, f1s]]),
-            jnp.asarray(self.inv_sigma2[m.kf_feat_octave[k2, f2s]]),
-            jnp.ones(len(f1s), bool),
+            jnp.asarray(pad_rows(xy1[f1s], nb)),
+            jnp.asarray(pad_rows(xy2[f2s], nb)),
+            jnp.asarray(pad_rows(self.inv_sigma2[m.kf_feat_octave[k1, f1s]], nb, 1.0)),
+            jnp.asarray(pad_rows(self.inv_sigma2[m.kf_feat_octave[k2, f2s]], nb, 1.0)),
+            jnp.asarray(row_mask(len(f1s), nb)),
         )
-        ok = np.array(tri.valid)  # writable copy
-        pts = np.asarray(tri.points_w)
+        ok = np.array(tri.valid)[: len(f1s)]  # writable copy
+        pts = np.asarray(tri.points_w)[: len(f1s)]
         # scale consistency (LocalMapping.cc ratioDist vs ratioOctave, factor 1.5)
         d1 = np.linalg.norm(pts - self._center(k1), axis=-1)
         d2 = np.linalg.norm(pts - self._center(k2), axis=-1)
@@ -244,21 +246,22 @@ class LocalMapper:
         if len(src_ps) == 0:
             return
         proj = np.stack([u[vis], v[vis]], axis=-1)
+        nb = bucket(len(src_ps))
         sm = matching.window_mask(
-            jnp.asarray(proj.astype(np.float32)),
+            jnp.asarray(pad_rows(proj.astype(np.float32), nb)),
             jnp.asarray(m.kf_feat_xy[k_dst]),
             radius,
         )
         idx, _ = matching.match_descriptors(
-            jnp.asarray(m.mp_desc[src_ps]),
-            jnp.ones(len(src_ps), bool),
+            jnp.asarray(pad_rows(m.mp_desc[src_ps], nb)),
+            jnp.asarray(row_mask(len(src_ps), nb)),
             jnp.asarray(m.kf_feat_desc[k_dst]),
             jnp.asarray(m.kf_feat_valid[k_dst]),
             spatial_mask=sm,
             max_dist=matching.TH_LOW,
             apply_ratio=False,
         )
-        idx = np.asarray(idx)
+        idx = np.asarray(idx)[: len(src_ps)]
         for i in np.nonzero(idx >= 0)[0]:
             p = int(src_ps[i])
             f = int(idx[i])

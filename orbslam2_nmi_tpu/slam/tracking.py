@@ -34,6 +34,7 @@ from orbslam2_nmi_tpu.ops import matching, triangulate
 from orbslam2_nmi_tpu.ops.orb import extract_orb
 from orbslam2_nmi_tpu.slam.frame import FrameData
 from orbslam2_nmi_tpu.slam.map_store import MapStore
+from orbslam2_nmi_tpu.utils.bucketing import bucket, pad_rows, row_mask
 from orbslam2_nmi_tpu.solvers import pose_gn
 
 
@@ -233,18 +234,19 @@ class Tracker:
             self.init_frame = None
             return TrackResult(self.state, frame.Tcw, 0, False)
 
+        nb = bucket(len(m1))
         tri = triangulate.triangulate_and_gate(
             jnp.asarray(self.K),
             jnp.asarray(f1.Tcw),
             jnp.asarray(f2.Tcw),
-            jnp.asarray(f1.xy[m1]),
-            jnp.asarray(f2.xy[m2]),
-            jnp.asarray(self.inv_sigma2[f1.octave[m1]]),
-            jnp.asarray(self.inv_sigma2[f2.octave[m2]]),
-            jnp.ones(len(m1), bool),
+            jnp.asarray(pad_rows(f1.xy[m1], nb)),
+            jnp.asarray(pad_rows(f2.xy[m2], nb)),
+            jnp.asarray(pad_rows(self.inv_sigma2[f1.octave[m1]], nb, 1.0)),
+            jnp.asarray(pad_rows(self.inv_sigma2[f2.octave[m2]], nb, 1.0)),
+            jnp.asarray(row_mask(len(m1), nb)),
         )
-        ok = np.asarray(tri.valid)
-        pts = np.asarray(tri.points_w)
+        ok = np.asarray(tri.valid)[: len(m1)]
+        pts = np.asarray(tri.points_w)[: len(m1)]
         if ok.sum() < 15:
             self.log(f"init: only {int(ok.sum())} triangulated, aborting this pair")
             self.init_frame = None
@@ -316,15 +318,17 @@ class Tracker:
         if self._rng_key is None:
             self._rng_key = jax.random.PRNGKey(13)
         self._rng_key, sub = jax.random.split(self._rng_key)
+        nb = bucket(len(m1))
         res = two_view_init.initialize_two_view(
             sub, jnp.asarray(self.K),
-            jnp.asarray(f1.xy[m1]), jnp.asarray(frame.xy[m2]),
-            jnp.ones(len(m1), bool),
+            jnp.asarray(pad_rows(f1.xy[m1], nb)),
+            jnp.asarray(pad_rows(frame.xy[m2], nb)),
+            jnp.asarray(row_mask(len(m1), nb)),
         )
         if not bool(res.ok):
             return TrackResult(self.state, None, 0, False)
-        inl = np.asarray(res.inliers)
-        pts = np.asarray(res.points_w)
+        inl = np.asarray(res.inliers)[: len(m1)]
+        pts = np.asarray(res.points_w)[: len(m1)]
         T2 = np.asarray(res.Tcw2)
         # normalize to unit median depth (CreateInitialMapMonocular :896)
         med = float(np.median(pts[inl][:, 2]))
@@ -420,18 +424,19 @@ class Tracker:
         if len(idxs) < 3:
             return 0
         pts = self.map.mp_pos[frame.mp_idx[idxs]]
+        nb = bucket(len(idxs))
         res = pose_gn.pose_optimization_jit(
             jnp.asarray(self.K),
             jnp.asarray(frame.Tcw),
-            jnp.asarray(pts),
-            jnp.asarray(frame.xy[idxs]),
-            jnp.asarray(self.inv_sigma2[frame.octave[idxs]]),
-            jnp.ones(len(idxs), bool),
+            jnp.asarray(pad_rows(pts, nb)),
+            jnp.asarray(pad_rows(frame.xy[idxs], nb)),
+            jnp.asarray(pad_rows(self.inv_sigma2[frame.octave[idxs]], nb, 1.0)),
+            jnp.asarray(row_mask(len(idxs), nb)),
             rounds=self.cfg.tracking.pose_opt_rounds,
             iters=self.cfg.tracking.pose_opt_iters,
         )
         frame.Tcw = np.asarray(res.Tcw)
-        inl = np.asarray(res.inliers)
+        inl = np.asarray(res.inliers)[: len(idxs)]
         frame.outlier[idxs] = ~inl
         return int(res.n_inliers)
 
@@ -446,30 +451,32 @@ class Tracker:
         mp_ids = last.mp_idx[bound]
         pts = self.map.mp_pos[mp_ids]
 
+        n_src = int(bound.sum())
+        nb = bucket(n_src)
         for th in (15.0, 30.0):
             proj = self._project(frame.Tcw, pts)
             radius = th * self.cfg.orb.scale_factor ** last.octave[bound].astype(np.float32)
             sm = matching.window_mask(
-                jnp.asarray(proj),
+                jnp.asarray(pad_rows(proj, nb)),
                 jnp.asarray(frame.xy),
-                jnp.asarray(radius),
-                jnp.asarray(last.octave[bound]),
+                jnp.asarray(pad_rows(radius, nb)),
+                jnp.asarray(pad_rows(last.octave[bound], nb)),
                 jnp.asarray(frame.octave),
                 level_window=1,
             )
             idx, _ = matching.match_descriptors(
-                jnp.asarray(last.desc[bound]),
-                jnp.ones(int(bound.sum()), bool),
+                jnp.asarray(pad_rows(last.desc[bound], nb)),
+                jnp.asarray(row_mask(n_src, nb)),
                 jnp.asarray(frame.desc),
                 jnp.asarray(frame.valid),
                 spatial_mask=sm,
                 max_dist=matching.TH_HIGH,
                 apply_ratio=False,
-                angle_a=jnp.asarray(last.angle[bound]),
+                angle_a=jnp.asarray(pad_rows(last.angle[bound], nb)),
                 angle_b=jnp.asarray(frame.angle),
                 check_rotation=True,
             )
-            idx = np.asarray(idx)
+            idx = np.asarray(idx)[:n_src]
             n_matches = (idx >= 0).sum()
             if n_matches >= 20:
                 break
@@ -557,19 +564,20 @@ class Tracker:
                     self.cfg.orb.n_levels - 1,
                 )
                 radius = 4.0 * self.cfg.orb.scale_factor ** pred_level.astype(np.float32)
+                nb = bucket(len(cand))
                 sm = matching.window_mask(
-                    jnp.asarray(proj),
+                    jnp.asarray(pad_rows(proj, nb)),
                     jnp.asarray(frame.xy),
-                    jnp.asarray(radius),
-                    jnp.asarray(pred_level),
+                    jnp.asarray(pad_rows(radius, nb)),
+                    jnp.asarray(pad_rows(pred_level, nb)),
                     jnp.asarray(frame.octave),
                     level_window=1,
                 )
                 # only unmatched frame features may bind
                 free = jnp.asarray((frame.mp_idx < 0) & frame.valid)
                 idx, _ = matching.match_descriptors(
-                    jnp.asarray(self.map.mp_desc[cand]),
-                    jnp.ones(len(cand), bool),
+                    jnp.asarray(pad_rows(self.map.mp_desc[cand], nb)),
+                    jnp.asarray(row_mask(len(cand), nb)),
                     jnp.asarray(frame.desc),
                     free,
                     spatial_mask=sm,
