@@ -100,28 +100,27 @@ class LocalMapper:
         """KeyFrameCulling (LocalMapping.cc:696): a covisible KF is redundant if
         >= 90% of its points are seen by >= 3 other KFs at same-or-finer scale.
         FORK rule: never cull NMI-relocalized keyframes."""
-        for kc in self.map.covisible_keyframes(k):
+        m = self.map
+        for kc in m.covisible_keyframes(k):
             kc = int(kc)
-            if kc == 0 or self.map.kf_nmi_reloc[kc]:
+            if kc == 0 or m.kf_nmi_reloc[kc]:
                 continue
-            fs = np.nonzero(self.map.kf_mp_idx[kc] >= 0)[0]
+            fs = np.nonzero(m.kf_mp_idx[kc] >= 0)[0]
             if len(fs) < 20:
                 continue
-            n_redundant = 0
-            for f in fs:
-                p = int(self.map.kf_mp_idx[kc, f])
-                if not self.map.mp_valid[p]:
-                    continue
-                lvl = self.map.kf_feat_octave[kc, f]
-                n = self.map.mp_obs_n[p]
-                oks = 0
-                for kk, ff in zip(self.map.mp_obs_kf[p, :n], self.map.mp_obs_feat[p, :n]):
-                    if kk != kc and self.map.kf_feat_octave[kk, ff] <= lvl + 1:
-                        oks += 1
-                if oks >= 3:
-                    n_redundant += 1
+            # vectorized observation-table walk (same layout as _ba_snapshot)
+            ps = m.kf_mp_idx[kc, fs]
+            lvl = m.kf_feat_octave[kc, fs]
+            kk = m.mp_obs_kf[ps]  # [F, M]
+            ff = m.mp_obs_feat[ps]
+            slot = np.arange(kk.shape[1])[None, :]
+            omask = (slot < m.mp_obs_n[ps][:, None]) & (kk >= 0) & (kk != kc)
+            kk0 = np.maximum(kk, 0)
+            omask &= m.kf_feat_octave[kk0, np.maximum(ff, 0)] <= lvl[:, None] + 1
+            n_other = omask.sum(1)
+            n_redundant = int((m.mp_valid[ps] & (n_other >= 3)).sum())
             if n_redundant >= 0.9 * len(fs):
-                self.map.remove_keyframe(kc)
+                m.remove_keyframe(kc)
                 self.log(f"culled redundant keyframe {kc}")
 
     # ------------------------------------------------------- new map points
@@ -305,26 +304,33 @@ class LocalMapper:
         pts = pts[m.mp_valid[pts]]
         if len(pts) < 10:
             return None
-        # fixed observers: KFs seeing these points but not in `local`
-        observers = set()
-        for p in pts:
-            n = m.mp_obs_n[p]
-            observers.update(int(x) for x in m.mp_obs_kf[p, :n])
-        fixed_kfs = sorted(observers - set(local))
-        cams = local + fixed_kfs
-        cam_pos = {kf: i for i, kf in enumerate(cams)}
-        pt_pos = {p: i for i, p in enumerate(pts)}
+        # vectorized observation-table walk (was per-point Python loops —
+        # the dominant host cost while the device idled)
+        obs_kk = m.mp_obs_kf[pts]  # [P, M]
+        obs_ff = m.mp_obs_feat[pts]
+        n_obs = m.mp_obs_n[pts]
+        slot = np.arange(obs_kk.shape[1])[None, :]
+        omask = (slot < n_obs[:, None]) & (obs_kk >= 0)
+        omask &= m.kf_valid[np.maximum(obs_kk, 0)]
 
-        obs_cam, obs_pt, obs_uv, obs_w = [], [], [], []
-        for p in pts:
-            n = m.mp_obs_n[p]
-            for kk, ff in zip(m.mp_obs_kf[p, :n], m.mp_obs_feat[p, :n]):
-                if kk < 0 or not m.kf_valid[kk]:
-                    continue
-                obs_cam.append(cam_pos[int(kk)])
-                obs_pt.append(pt_pos[int(p)])
-                obs_uv.append(m.kf_feat_xy[kk, ff])
-                obs_w.append(self.inv_sigma2[m.kf_feat_octave[kk, ff]])
+        observers = np.unique(obs_kk[omask])
+        fixed_kfs = sorted(set(int(x) for x in observers) - set(local))
+        cams = local + fixed_kfs
+        cam_pos_arr = np.full(m.kf_valid.shape[0], -1, np.int64)
+        for i, kf in enumerate(cams):
+            cam_pos_arr[kf] = i
+
+        kk_flat = obs_kk[omask]
+        ff_flat = obs_ff[omask]
+        obs_cam = cam_pos_arr[kk_flat]
+        obs_pt = np.broadcast_to(np.arange(len(pts))[:, None], obs_kk.shape)[omask]
+        keep = obs_cam >= 0
+        obs_cam = obs_cam[keep]
+        obs_pt = obs_pt[keep]
+        kk_flat = kk_flat[keep]
+        ff_flat = ff_flat[keep]
+        obs_uv = m.kf_feat_xy[kk_flat, ff_flat]
+        obs_w = self.inv_sigma2[m.kf_feat_octave[kk_flat, ff_flat]]
         O = len(obs_cam)
         if O < 20:
             return None
@@ -408,18 +414,23 @@ class LocalMapper:
         pts = m.valid_point_indices()
         if len(kfs) < 1 or len(pts) < 10:
             return
-        cam_pos = {kf: i for i, kf in enumerate(kfs)}
-        pt_pos = {p: i for i, p in enumerate(pts)}
-        obs_cam, obs_pt, obs_uv, obs_w = [], [], [], []
-        for p in pts:
-            n = m.mp_obs_n[p]
-            for kk, ff in zip(m.mp_obs_kf[p, :n], m.mp_obs_feat[p, :n]):
-                if kk < 0 or not m.kf_valid[kk]:
-                    continue
-                obs_cam.append(cam_pos[int(kk)])
-                obs_pt.append(pt_pos[int(p)])
-                obs_uv.append(m.kf_feat_xy[kk, ff])
-                obs_w.append(self.inv_sigma2[m.kf_feat_octave[kk, ff]])
+        cam_pos_arr = np.full(m.kf_valid.shape[0], -1, np.int64)
+        for i, kf in enumerate(kfs):
+            cam_pos_arr[kf] = i
+        obs_kk = m.mp_obs_kf[pts]  # [P, M]
+        obs_ff = m.mp_obs_feat[pts]
+        slot = np.arange(obs_kk.shape[1])[None, :]
+        omask = (slot < m.mp_obs_n[pts][:, None]) & (obs_kk >= 0)
+        omask &= m.kf_valid[np.maximum(obs_kk, 0)]
+        kk_flat = obs_kk[omask]
+        ff_flat = obs_ff[omask]
+        obs_cam = cam_pos_arr[kk_flat]
+        obs_pt = np.broadcast_to(np.arange(len(pts))[:, None], obs_kk.shape)[omask]
+        keep = obs_cam >= 0
+        obs_cam, obs_pt = obs_cam[keep], obs_pt[keep]
+        kk_flat, ff_flat = kk_flat[keep], ff_flat[keep]
+        obs_uv = m.kf_feat_xy[kk_flat, ff_flat]
+        obs_w = self.inv_sigma2[m.kf_feat_octave[kk_flat, ff_flat]]
         O = len(obs_cam)
         if O < 20:
             return
