@@ -39,6 +39,10 @@ def main(argv=None):
     ap.add_argument("--debug-images", action="store_true",
                     help="save NMI best/middle overlay images per iteration "
                          "(the reference's orb_prop_log imagery, Tracking.cc:1911-1948)")
+    ap.add_argument("--viz", type=int, default=0, metavar="N",
+                    help="save a FrameDrawer overlay every N frames and a "
+                         "MapDrawer top-down map at exit (headless Viewer "
+                         "equivalent, System.cc:126)")
     ap.add_argument("--profile", metavar="DIR", default=None,
                     help="capture a jax.profiler trace of the replay into DIR "
                          "(view with TensorBoard)")
@@ -135,6 +139,17 @@ def main(argv=None):
         t_last = t
         res = system.track_monocular(img, t, frame_id=i)
         n_total += 1
+        if args.viz and n_total % args.viz == 0:
+            import os
+
+            from orbslam2_nmi_tpu.viz import replay as viz
+
+            fr = system.tracker.last_frame
+            if fr is not None:
+                viz.draw_frame(
+                    img, fr.xy, fr.mp_idx >= 0,
+                    os.path.join(args.output, f"frame_{i:06d}.png"),
+                )
         if res.state == TrackingState.OK and res.Tcw is not None:
             n_ok += 1
             if gt is not None:
@@ -149,6 +164,15 @@ def main(argv=None):
     system.save_full_trajectory("FullTrajectory")
     system.save_keyframe_trajectory_tum("KeyFrameTrajectory.txt")
     system.print_map_points("MapPoints.xyz")
+    if args.viz:
+        import os
+
+        from orbslam2_nmi_tpu.viz import replay as viz
+
+        viz.plot_map_topdown(
+            system.map, os.path.join(args.output, "map_topdown.png"),
+            trajectory=system.tracker.trajectory,
+        )
     system.shutdown()
 
     ft = np.array(system.frame_times) if system.frame_times else np.zeros(1)

@@ -18,6 +18,8 @@ Step-interleaved equivalent of the reference's LoopClosing thread
 from __future__ import annotations
 
 import numpy as np
+
+from orbslam2_nmi_tpu.utils.bucketing import bucket, pad_rows, row_mask
 import jax
 import jax.numpy as jnp
 
@@ -156,16 +158,17 @@ class LoopCloser:
         n_lv = self.cfg.orb.n_levels
         inv_s2 = (1.0 / (self.cfg.orb.scale_factor ** np.arange(n_lv)) ** 2).astype(np.float32)
         self._rng_key, sub = jax.random.split(self._rng_key)
+        nb = bucket(len(f1))
         res = sim3_solver.sim3_ransac(
             sub,
             jnp.asarray(self.cfg.camera.K),
-            jnp.asarray(p1_cam),
-            jnp.asarray(p2_cam),
-            jnp.asarray(m.kf_feat_xy[k, f1]),
-            jnp.asarray(m.kf_feat_xy[cand, f2]),
-            jnp.asarray(inv_s2[m.kf_feat_octave[k, f1]]),
-            jnp.asarray(inv_s2[m.kf_feat_octave[cand, f2]]),
-            jnp.ones(len(f1), bool),
+            jnp.asarray(pad_rows(p1_cam, nb)),
+            jnp.asarray(pad_rows(p2_cam, nb)),
+            jnp.asarray(pad_rows(m.kf_feat_xy[k, f1], nb)),
+            jnp.asarray(pad_rows(m.kf_feat_xy[cand, f2], nb)),
+            jnp.asarray(pad_rows(inv_s2[m.kf_feat_octave[k, f1]], nb, 1.0)),
+            jnp.asarray(pad_rows(inv_s2[m.kf_feat_octave[cand, f2]], nb, 1.0)),
+            jnp.asarray(row_mask(len(f1), nb)),
             min_inliers=20,
         )
         if not bool(res.ok):

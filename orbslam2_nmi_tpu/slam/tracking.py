@@ -707,20 +707,21 @@ class Tracker:
             pts = self.map.mp_pos[mp_ids]
             uv = frame.xy[idx[src]]
             self._rng_key, sub = jax.random.split(self._rng_key)
+            nb = bucket(len(src))
             res = pnp.pnp_ransac(
                 sub,
                 jnp.asarray(self.K),
-                jnp.asarray(pts),
-                jnp.asarray(uv),
-                jnp.asarray(self.inv_sigma2[frame.octave[idx[src]]]),
-                jnp.ones(len(src), bool),
+                jnp.asarray(pad_rows(pts, nb)),
+                jnp.asarray(pad_rows(uv, nb)),
+                jnp.asarray(pad_rows(self.inv_sigma2[frame.octave[idx[src]]], nb, 1.0)),
+                jnp.asarray(row_mask(len(src), nb)),
                 min_inliers=10,
             )
             if not bool(res.ok):
                 continue
             frame.Tcw = np.asarray(res.Tcw)
             frame.mp_idx[:] = -1
-            inl = np.asarray(res.inliers)
+            inl = np.asarray(res.inliers)[: len(src)]
             frame.mp_idx[idx[src[inl]]] = mp_ids[inl]
             self.ref_kf = cand
             self.log(
