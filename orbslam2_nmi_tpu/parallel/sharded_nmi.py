@@ -81,3 +81,54 @@ def sharded_nmi_search(
     scores = eval_shard(offsets_p, warped)
     valid = (jnp.arange(S_pad) < S)[:, None]
     return jnp.where(valid, scores, -jnp.inf)[:S]
+
+
+def sharded_nmi_search_mesh(
+    mesh,
+    binned,  # ops.raster.BinnedMesh (binned at the grid-center pose)
+    frame_gray: jnp.ndarray,  # [H, W] float32, replicated
+    Tcw: jnp.ndarray,  # [4, 4]
+    offsets_cam: jnp.ndarray,  # [S, 3] translation candidates
+    angles: jnp.ndarray,  # [R, 3] rotation candidates
+    K,
+    near: float,
+    far: float,
+    metric: str = "SUC",
+    use_pallas: bool | None = None,
+) -> jnp.ndarray:
+    """Mesh-raster variant of sharded_nmi_search (the reference's default
+    render mode 1): each chip rasterizes its slice of translation candidates
+    from the shared binned mesh. The tri_data/texture arrays are replicated —
+    they are read-only model state, exactly like `model` in the splat path."""
+    import numpy as np
+
+    from orbslam2_nmi_tpu.ops import raster
+
+    n_dev = mesh.shape[POSE_AXIS]
+    S = offsets_cam.shape[0]
+    offsets_p = pad_to_multiple(offsets_cam, n_dev, axis=0, fill=1e6)
+    S_pad = offsets_p.shape[0]
+    if use_pallas is None:
+        use_pallas = jax.devices()[0].platform == "tpu"
+    K_np = np.asarray(K, np.float32)
+
+    warped = homography.warp_rotation_grid(frame_gray, jnp.asarray(K_np), angles)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(POSE_AXIS, None), P(None, None, None)),
+        out_specs=P(POSE_AXIS, None),
+        check_vma=False,  # pallas_call outputs carry no varying-mesh-axes info
+    )
+    def eval_shard(offsets_local, warped_rep):
+        synth = raster.render_mesh_grid(
+            binned, Tcw, K_np, offsets_local, near, far, interpret=not use_pallas
+        )
+        return histogram_nmi.nmi_scores(
+            synth, warped_rep, metric=metric, use_pallas=use_pallas
+        )
+
+    scores = eval_shard(offsets_p, warped)
+    valid = (jnp.arange(S_pad) < S)[:, None]
+    return jnp.where(valid, scores, -jnp.inf)[:S]

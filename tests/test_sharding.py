@@ -73,3 +73,56 @@ def test_pad_to_multiple():
     y = sharded_nmi.pad_to_multiple(x, 8, axis=0, fill=7.0)
     assert y.shape == (8, 3)
     assert float(y[5, 0]) == 7.0
+
+
+def test_sharded_nmi_mesh_matches_single_device(mesh8):
+    """Mesh-raster sharded NMI (the reference's default render mode) matches
+    the single-device raster + score path and peaks at the aligned center."""
+    from orbslam2_nmi_tpu.io.model_loader import MeshModel
+    from orbslam2_nmi_tpu.ops import raster
+
+    rng = np.random.default_rng(5)
+    n = 30
+    xs = np.linspace(-15, 15, n)
+    ys = np.linspace(-10, 10, n)
+    X, Y = np.meshgrid(xs, ys, indexing="xy")
+    Z = 12.0 + 1.0 * np.sin(X * 0.7) * np.cos(Y * 0.9)
+    verts = np.stack([X.ravel(), Y.ravel(), Z.ravel()], -1).astype(np.float32)
+    uvs = np.stack(
+        [(X.ravel() - xs[0]) / 30.0, (Y.ravel() - ys[0]) / 20.0], -1
+    ).astype(np.float32)
+    ii, jj = np.meshgrid(np.arange(n - 1), np.arange(n - 1), indexing="ij")
+    a = (ii * n + jj).ravel()
+    faces = np.concatenate(
+        [np.stack([a, a + 1, a + n + 1], -1), np.stack([a, a + n + 1, a + n], -1)]
+    ).astype(np.int32)
+    mesh_model = MeshModel(
+        vertices=verts, uvs=uvs, faces=faces,
+        texture_gray=rng.uniform(10, 245, (64, 64)).astype(np.float32),
+    )
+    H, W = 48, 128
+    K_np = np.array([[60.0, 0, 64], [0, 60.0, 24], [0, 0, 1]], np.float32)
+    offsets = render.translation_grid_offsets((2, 2, 2), (0.3, 0.3, 0.3))
+    angles = homography.rotation_grid_angles((2, 2, 1), (0.03, 0.03, 0.03))
+    binned = raster.bin_mesh(
+        mesh_model, np.eye(4, dtype=np.float32), K_np, H, W, 1.0, 30.0,
+        max_offset=(0.3, 0.3, 0.3),
+    )
+    frame = raster.render_mesh_grid(
+        binned, np.eye(4, dtype=np.float32), K_np, jnp.zeros((1, 3)), 1.0, 30.0,
+        interpret=True,
+    )[0]
+
+    mesh = mesh_lib.make_mesh(8)
+    scores_sharded = sharded_nmi.sharded_nmi_search_mesh(
+        mesh, binned, frame, jnp.eye(4), offsets, angles, K_np, 1.0, 30.0,
+        use_pallas=False,
+    )
+    synth = raster.render_mesh_grid(
+        binned, np.eye(4, dtype=np.float32), K_np, offsets, 1.0, 30.0, interpret=True
+    )
+    warped = homography.warp_rotation_grid(frame, jnp.asarray(K_np), angles)
+    scores_ref = histogram_nmi.nmi_scores(synth, warped, use_pallas=False)
+    np.testing.assert_allclose(
+        np.asarray(scores_sharded), np.asarray(scores_ref), atol=1e-4
+    )
