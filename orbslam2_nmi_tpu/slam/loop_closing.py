@@ -24,7 +24,6 @@ import jax
 import jax.numpy as jnp
 
 from orbslam2_nmi_tpu.config import SystemConfig
-from orbslam2_nmi_tpu.geometry import se3
 from orbslam2_nmi_tpu.ops import matching
 from orbslam2_nmi_tpu.slam.keyframe_database import KeyFrameDatabase
 from orbslam2_nmi_tpu.slam.map_store import MapStore
@@ -199,17 +198,21 @@ class LoopCloser:
             rel = T_n_old @ T_k_old_inv  # n <- k (SE3)
             S_n_corr = rel @ Scw_corr  # sim3 corrected pose of neighbor
             corrected[kn] = S_n_corr.astype(np.float32)
-        # re-map the neighborhood's points through the correction
+        # re-map the neighborhood's points through the correction (vectorized:
+        # one camera transform + one Sim3 inverse per keyframe, not per point)
         for kn in neighbors:
             S_n_corr = corrected[kn]
             T_n_old = m.kf_Tcw[kn]
-            for p in np.unique(m.kf_mp_idx[kn]):
-                if p < 0 or p in moved_points or not m.mp_valid[p]:
-                    continue
-                moved_points.add(int(p))
-                pc = T_n_old[:3, :3] @ m.mp_pos[p] + T_n_old[:3, 3]
-                S_inv = np.asarray(se3.sim3_inverse(jnp.asarray(S_n_corr)))
-                m.mp_pos[p] = S_inv[:3, :3] @ pc + S_inv[:3, 3]
+            ps = np.unique(m.kf_mp_idx[kn])
+            ps = ps[(ps >= 0) & m.mp_valid[np.maximum(ps, 0)]]
+            ps = np.array([p for p in ps if p not in moved_points], np.int64)
+            if len(ps) == 0:
+                continue
+            moved_points.update(int(p) for p in ps)
+            pc = m.mp_pos[ps] @ T_n_old[:3, :3].T + T_n_old[:3, 3]  # [n, 3]
+            sR = S_n_corr[:3, :3]
+            s2 = float(sR[:, 0] @ sR[:, 0])  # scale^2; S_inv = (R^T/s^2 | -R^T t / s^2)
+            m.mp_pos[ps] = (pc - S_n_corr[:3, 3]) @ sR / s2
             # write the corrected pose back as SE3 (normalize scale into
             # translation, like the reference's eigt /= s conversion :517)
             s = float(np.linalg.norm(S_n_corr[:3, 0]))
