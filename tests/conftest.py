@@ -20,3 +20,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# Persistent compilation cache: the suite is dominated by XLA compile time
+# (many static-shape specializations), and compiled executables are keyed by
+# HLO hash, so re-runs skip straight to execution.
+_cache_dir = os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
