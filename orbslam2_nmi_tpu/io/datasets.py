@@ -1,8 +1,12 @@
 """Dataset loaders for the ZU-MAV (ETH) and Newer College sequence layouts.
 
 Replicates the reference's LoadImages readers:
-  * mono_ETH.cc:164 — reads ``<seq>_times.txt`` (one timestamp per line) and
-    ``<seq>_files.txt`` (one image filename per line), images under ``<seq>/``.
+  * mono_ETH.cc:164-199 — reads ``<seq>/_times.txt`` (one timestamp per line)
+    and generates image names ``<seq>/%05d.jpg`` from a start index: 1 for
+    pt1, 20513 pt2, 52500 pt3, 68700 pt4 (the reference hard-codes these at
+    mono_ETH.cc:196-199 and selects by recompiling; here it is the
+    ``start_index`` argument / ``--start-index`` CLI flag). An explicit
+    ``<seq>_files.txt`` list is also accepted as an extension.
   * mono_newer_college.cc — same contract for the Newer College release.
 Plus a synthetic-sequence generator used by tests and benchmarks when no real
 dataset is on disk.
@@ -56,14 +60,23 @@ def load_image_gray(path: str) -> np.ndarray:
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
-def load_eth_sequence(seq_dir: str, start_frame: int = 0) -> Sequence:
-    """ZU-MAV layout: `<dir>_times.txt`, `<dir>_files.txt`, images in `<dir>/`
-    (reference: mono_ETH.cc:164-199)."""
+def load_eth_sequence(seq_dir: str, start_frame: int = 0, start_index: int = 1) -> Sequence:
+    """ZU-MAV layout (reference: mono_ETH.cc:164-199): `<dir>/_times.txt`,
+    images `<dir>/%05d.jpg` numbered from `start_index` (1 / 20513 / 52500 /
+    68700 for the pt1-pt4 yaml variants). A `<dir>_times.txt` sibling file and
+    an explicit `<dir>_files.txt` filename list are accepted as extensions."""
     base = seq_dir.rstrip("/")
-    with open(base + "_times.txt") as f:
+    times_path = os.path.join(base, "_times.txt")
+    if not os.path.exists(times_path):
+        times_path = base + "_times.txt"
+    with open(times_path) as f:
         times = np.array([float(x) for x in f.read().split()], dtype=np.float64)
-    with open(base + "_files.txt") as f:
-        names = [ln.strip() for ln in f if ln.strip()]
+    files_list = base + "_files.txt"
+    if os.path.exists(files_list):
+        with open(files_list) as f:
+            names = [ln.strip() for ln in f if ln.strip()]
+    else:
+        names = [f"{start_index + i:05d}.jpg" for i in range(len(times))]
     paths = [os.path.join(base, n) for n in names]
     n = min(len(paths), len(times))
     return Sequence(paths[:n], times[:n], start_frame=start_frame)

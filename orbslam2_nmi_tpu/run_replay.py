@@ -27,6 +27,9 @@ def main(argv=None):
     ap.add_argument("--output", default="results", help="output directory")
     ap.add_argument("--no-nmi", action="store_true", help="disable NMI localization")
     ap.add_argument("--start-frame", type=int, default=0)
+    ap.add_argument("--start-index", type=int, default=1,
+                    help="first image number of a ZU-MAV part: 1=pt1, 20513=pt2, "
+                         "52500=pt3, 68700=pt4 (mono_ETH.cc:196-199)")
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--realtime", action="store_true", help="pace to camera fps")
     ap.add_argument("--verbose", action="store_true")
@@ -101,8 +104,13 @@ def main(argv=None):
         cfg = load_yaml_config(args.settings)
         import os
 
-        if os.path.exists(args.sequence.rstrip("/") + "_times.txt"):
-            seq = load_eth_sequence(args.sequence, start_frame=args.start_frame)
+        base = args.sequence.rstrip("/")
+        if os.path.exists(os.path.join(base, "_times.txt")) or os.path.exists(
+            base + "_times.txt"
+        ):
+            seq = load_eth_sequence(
+                args.sequence, start_frame=args.start_frame, start_index=args.start_index
+            )
         else:
             seq = load_newer_college_sequence(args.sequence, start_frame=args.start_frame)
         system = SLAMSystem(cfg, use_nmi=not args.no_nmi, output_dir=args.output,

@@ -42,3 +42,18 @@ def test_features_per_level_sums_to_budget():
     per = cfg.orb.features_per_level()
     assert per.sum() == cfg.orb.n_features
     assert (per[:-1] >= per[1:] - 1).all()  # geometric decay
+
+
+def test_load_eth_sequence_reference_layout(tmp_path):
+    """mono_ETH.cc:164-199: `<seq>/_times.txt` + generated `%05d.jpg` names
+    from a per-part start index (no _files.txt in the reference)."""
+    from orbslam2_nmi_tpu.io.datasets import load_eth_sequence
+
+    seq_dir = tmp_path / "seq"
+    seq_dir.mkdir()
+    (seq_dir / "_times.txt").write_text("0.0\n0.1\n0.2\n")
+    seq = load_eth_sequence(str(seq_dir), start_index=20513)
+    assert len(seq) == 3
+    assert seq.image_paths[0].endswith("seq/20513.jpg")
+    assert seq.image_paths[2].endswith("20515.jpg")
+    np.testing.assert_allclose(seq.timestamps, [0.0, 0.1, 0.2])
