@@ -1,9 +1,15 @@
 """Trajectory + map writers in the reference's output formats.
 
 Parity targets (SURVEY.md §4 ground-truth hooks):
-  * SaveFullTrajectory (reference: src/System.cc:514-599):
-      `<id> <t> [KF][, NMI][, FAILED] x y z qx qy qz qw` rows (+ a companion
-      `_twc` file with inverse-pose matrices and NMI previous poses).
+  * SaveFullTrajectory (reference: src/System.cc:514-599): frame poses are
+    stored RELATIVE to their reference keyframe at track time
+    (Tracking.cc:667-691 mlRelativeFramePoses) and recomposed
+    `Tcw = Tcr * Trw` at save time, walking the spanning tree when the
+    reference keyframe was culled (System.cc:551-556) — so loop closures,
+    global BA and NMI anchoring retroactively correct the whole saved
+    trajectory. Rows: `<id> <t> [KF][, NMI][, FAILED] x y z qx qy qz qw`
+    (+ a companion `_twc` file with inverse-pose matrices and NMI previous
+    poses).
   * SaveKeyFrameTrajectoryTUM (src/System.cc:417): `t x y z qx qy qz qw`.
   * PrintMapPoints .xyz dumps (src/Tracking.cc:2422-2449) via
     io.model_loader.save_xyz_pointcloud.
@@ -23,11 +29,51 @@ def _quat_wxyz(Rwc: np.ndarray) -> np.ndarray:
     return np.asarray(se3.rot_to_quat(jnp.asarray(Rwc[None]))[0])
 
 
-def save_full_trajectory(path: str, rows: list):
-    """rows: (frame_id, t, Tcw, flags, previous_poses) as accumulated by the
-    Tracker. Writes `<path>.txt` (quat rows) and `<path>_twc.txt` (matrices)."""
+def recompose_trajectory(rows: list, map_store) -> list:
+    """Recompose absolute per-frame poses from the tracker's relative rows.
+
+    rows: (frame_id, t, Tcr, ref_kf, lost, previous_poses) as accumulated by
+    the Tracker (Tracking.cc:667-691). Returns
+    (frame_id, t, Tcw, flags, previous_poses) with `Tcw = Tcr * Trw` where
+    Trw walks the spanning tree past culled reference keyframes accumulating
+    the cull-time child->parent relatives (System.cc:543-557: `Trw *= mTcp`).
+    Lost rows are skipped, like the reference's `if (*lbL) continue`.
+    Flags are derived at save time: `KF` when Tcr ~ identity (System.cc:570),
+    NMI / FAILED from the (possibly re-walked) reference keyframe's flags.
+    """
+    m = map_store
+    out = []
+    for frame_id, t, Tcr, ref, lost, prev in rows:
+        if lost or ref < 0:
+            continue
+        Trw = np.eye(4, dtype=np.float32)
+        k = int(ref)
+        # spanning-tree walk past culled keyframes (System.cc:551-556)
+        while not m.kf_valid[k]:
+            Trw = Trw @ m.kf_Tcp[k]
+            k = int(m.kf_parent[k])
+            if k < 0:
+                break
+        if k < 0:
+            continue
+        Trw = Trw @ m.kf_Tcw[k]
+        Tcw = (Tcr @ Trw).astype(np.float32)
+        flags = []
+        if float(np.abs(Tcr - np.eye(4)).sum()) < 0.01:  # System.cc:570
+            flags.append("KF")
+            if m.kf_nmi_reloc[k]:
+                flags.append("NMI")
+            if m.kf_nmi_failed[k]:
+                flags.append("FAILED")
+        out.append((frame_id, t, Tcw, flags, prev))
+    return out
+
+
+def save_full_trajectory(path: str, rows: list, map_store):
+    """SaveFullTrajectory (System.cc:514-599). Writes `<path>.txt` (quat rows)
+    and `<path>_twc.txt` (inverse-pose matrices + NMI previous poses)."""
     with open(path + ".txt", "w") as f1, open(path + "_twc.txt", "w") as f2:
-        for frame_id, t, Tcw, flags, prev in rows:
+        for frame_id, t, Tcw, flags, prev in recompose_trajectory(rows, map_store):
             Rwc = Tcw[:3, :3].T
             twc = -Rwc @ Tcw[:3, 3]
             q = _quat_wxyz(Rwc)  # [w, x, y, z]

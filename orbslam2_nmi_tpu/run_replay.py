@@ -179,7 +179,7 @@ def main(argv=None):
 
         viz.plot_map_topdown(
             system.map, os.path.join(args.output, "map_topdown.png"),
-            trajectory=system.tracker.trajectory,
+            trajectory=system.full_trajectory(),
         )
     system.shutdown()
 

@@ -15,7 +15,7 @@ from orbslam2_nmi_tpu.slam.map_store import MapStore
 
 _MAP_FIELDS = [
     "kf_Tcw", "kf_valid", "kf_frame_id", "kf_timestamp", "kf_nmi_reloc",
-    "kf_nmi_failed", "kf_parent", "kf_feat_xy", "kf_feat_octave",
+    "kf_nmi_failed", "kf_parent", "kf_Tcp", "kf_feat_xy", "kf_feat_octave",
     "kf_feat_angle", "kf_feat_desc", "kf_feat_valid", "kf_mp_idx",
     "mp_pos", "mp_valid", "mp_desc", "mp_normal", "mp_min_dist", "mp_max_dist",
     "mp_first_kf", "mp_visible", "mp_found", "mp_obs_kf", "mp_obs_feat",

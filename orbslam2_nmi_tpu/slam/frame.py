@@ -28,6 +28,10 @@ class FrameData:
     nmi_relocalized: bool = False
     nmi_failed: bool = False
     previous_poses: list = field(default_factory=list)  # Twc history (NMI parity)
+    # relative-pose bookkeeping (Tracking.cc:667-691): pose vs reference KF,
+    # recomposed at save time so post-hoc optimization reaches the trajectory
+    ref_kf: int = -1
+    Tcr: np.ndarray | None = None  # Tcw @ inv(kf_Tcw[ref_kf])
 
     def __post_init__(self):
         n = len(self.xy)

@@ -37,6 +37,7 @@ class MapStore:
     kf_nmi_reloc: np.ndarray = field(init=False)  # [K] — anchored in BA
     kf_nmi_failed: np.ndarray = field(init=False)  # [K]
     kf_parent: np.ndarray = field(init=False)  # [K] spanning tree (-1 root)
+    kf_Tcp: np.ndarray = field(init=False)  # [K, 4, 4] child->parent rel at cull (KeyFrame::mTcp)
     # --- keyframe features
     kf_feat_xy: np.ndarray = field(init=False)  # [K, F, 2] undistorted px
     kf_feat_octave: np.ndarray = field(init=False)  # [K, F]
@@ -72,6 +73,9 @@ class MapStore:
         # mutations). Reentrant so the synchronous single-thread pipeline is
         # unchanged.
         self.lock = threading.RLock()
+        # observers notified on KF removal (the reference erases culled KFs
+        # from KeyFrameDatabase inside SetBadFlag, KeyFrame.cc:504)
+        self.on_keyframe_removed: list = []
         t = self.cfg.tracking
         K, P, F = t.max_keyframes, t.max_map_points, t.max_features
         M = MAX_OBS_PER_POINT
@@ -82,6 +86,7 @@ class MapStore:
         self.kf_nmi_reloc = np.zeros(K, bool)
         self.kf_nmi_failed = np.zeros(K, bool)
         self.kf_parent = np.full(K, -1, np.int32)
+        self.kf_Tcp = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))
         self.kf_feat_xy = np.zeros((K, F, 2), np.float32)
         self.kf_feat_octave = np.zeros((K, F), np.int32)
         self.kf_feat_angle = np.zeros((K, F), np.float32)
@@ -151,11 +156,17 @@ class MapStore:
                 self.kf_parent[k] = k - 1  # fall back to temporal predecessor
 
     def remove_keyframe(self, k: int):
-        """SetBadFlag (KeyFrame.cc:461): drop observations, re-parent children."""
+        """SetBadFlag (KeyFrame.cc:461): drop observations, re-parent children.
+
+        Stores the cull-time child->parent relative pose (KeyFrame::mTcp,
+        KeyFrame.cc SetBadFlag tail) so trajectory recomposition can walk the
+        spanning tree past culled reference keyframes (System.cc:551-556)."""
         if not self.kf_valid[k]:
             return
         for f in np.nonzero(self.kf_mp_idx[k] >= 0)[0]:
             self.remove_observation(k, int(f))
+        if self.kf_parent[k] >= 0:
+            self.kf_Tcp[k] = self.kf_Tcw[k] @ np.linalg.inv(self.kf_Tcw[self.kf_parent[k]])
         self.kf_valid[k] = False
         self.covis[k, :] = 0
         self.covis[:, k] = 0
@@ -163,6 +174,8 @@ class MapStore:
         children = np.nonzero(self.kf_parent[: self.n_keyframes] == k)[0]
         for c in children:
             self.kf_parent[c] = parent
+        for cb in self.on_keyframe_removed:
+            cb(k)
 
     def covisible_keyframes(self, k: int, min_weight: int = COVIS_MIN_WEIGHT) -> np.ndarray:
         """KF indices sharing >= min_weight points with k, strongest first."""

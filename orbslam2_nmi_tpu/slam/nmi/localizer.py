@@ -52,6 +52,10 @@ class NMIOutcome:
     failed: bool
     iterations: int
     previous_poses: list  # Twc before each iteration (mvPreviousPoses parity)
+    # per-axis grid sizes of the kernel at exit — the Track() drift reset only
+    # clears axes the kernel actually searched (num > 1), Tracking.cc:600-612
+    num_synth: tuple = (3, 3, 3)
+    num_warp: tuple = (3, 3, 3)
 
 
 def _euler_zyx_matrix(angles: jnp.ndarray) -> jnp.ndarray:
@@ -318,6 +322,8 @@ class NMILocalizer:
                 failed=True,
                 iterations=i,
                 previous_poses=previous_poses,
+                num_synth=kernel.num_synth,
+                num_warp=kernel.num_warp,
             )
         return NMIOutcome(
             Tcw=Tcw,
@@ -326,4 +332,6 @@ class NMILocalizer:
             failed=False,
             iterations=i,
             previous_poses=previous_poses,
+            num_synth=kernel.num_synth,
+            num_warp=kernel.num_warp,
         )

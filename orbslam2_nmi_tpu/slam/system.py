@@ -85,6 +85,9 @@ class SLAMSystem:
         from orbslam2_nmi_tpu.slam.loop_closing import LoopCloser
 
         self.database = KeyFrameDatabase(self.vocabulary, self.cfg.tracking.max_keyframes)
+        # culled KFs must leave the place-recognition DB (KeyFrame.cc:504
+        # erases from KeyFrameDatabase inside SetBadFlag)
+        self.map.on_keyframe_removed.append(self.database.erase)
         self.loop_closer = LoopCloser(
             self.cfg, self.map, self.database, self.local_mapper, log_fn=self.log
         )
@@ -152,9 +155,16 @@ class SLAMSystem:
     # -------------------------------------------------------------- outputs
 
     def save_full_trajectory(self, name: str = "FullTrajectory"):
-        trajectory.save_full_trajectory(
-            os.path.join(self.output_dir, name), self.tracker.trajectory
-        )
+        with self.map.lock:
+            trajectory.save_full_trajectory(
+                os.path.join(self.output_dir, name), self.tracker.trajectory, self.map
+            )
+
+    def full_trajectory(self) -> list:
+        """Recomposed (frame_id, t, Tcw, flags, prev) rows — absolute poses
+        reflecting all loop/GBA/NMI corrections (System.cc:514 semantics)."""
+        with self.map.lock:
+            return trajectory.recompose_trajectory(self.tracker.trajectory, self.map)
 
     def save_keyframe_trajectory_tum(self, name: str = "KeyFrameTrajectory.txt"):
         kfs = self.map.valid_keyframe_indices()

@@ -92,7 +92,10 @@ class Tracker:
         self.kfs_since_last_nmi: int = 0
         self.dist_since_nmi = np.zeros(3)
         self.rot_since_nmi = np.zeros(3)
-        self.trajectory: list = []  # (frame_id, t, Tcw, flags) rows
+        # relative-pose rows (frame_id, t, Tcr, ref_kf, lost, previous_poses)
+        # — mlRelativeFramePoses et al. (Tracking.cc:667-691); absolute poses
+        # are recomposed at save time (io.trajectory.recompose_trajectory)
+        self.trajectory: list = []
         self._gray: Optional[np.ndarray] = None
 
         # per-octave information weights: invSigma2 = 1/scale^2 (Frame.cc)
@@ -150,17 +153,24 @@ class Tracker:
             )
             self.rot_since_nmi += dR
 
-        if frame.Tcw is not None:
-            flags = []
-            if res.is_keyframe:
-                flags.append("KF")
-            if frame.nmi_relocalized:
-                flags.append("NMI")
-            if frame.nmi_failed:
-                flags.append("FAILED")
+        # store pose RELATIVE to the reference keyframe (Tracking.cc:667-691):
+        # Tcr = Tcw * Twr, snapped to identity when the frame IS the keyframe
+        # (sum-abs < 0.01, Tracking.cc:677-683). Recomposition at save time
+        # lets loop/GBA/NMI corrections reach the saved trajectory.
+        if frame.Tcw is not None and self.ref_kf >= 0:
+            Tcr = frame.Tcw @ np.linalg.inv(self.map.kf_Tcw[self.ref_kf])
+            if float(np.abs(Tcr - np.eye(4)).sum()) < 0.01:
+                Tcr = np.eye(4, dtype=np.float32)
+            frame.ref_kf = self.ref_kf
+            frame.Tcr = Tcr.astype(np.float32)
             self.trajectory.append(
-                (frame_id, timestamp, frame.Tcw.copy(), flags, [p.copy() for p in frame.previous_poses])
+                (frame_id, timestamp, frame.Tcr, frame.ref_kf, False,
+                 [p.copy() for p in frame.previous_poses])
             )
+        elif self.trajectory:
+            # tracking lost: replicate the last row flagged lost (Tracking.cc:688-691)
+            last = self.trajectory[-1]
+            self.trajectory.append((frame_id, timestamp, last[2], last[3], True, []))
         self.last_frame = frame
         return res
 
@@ -444,6 +454,7 @@ class Tracker:
         """Tracking.cc:1083: project last frame's points at the predicted pose,
         windowed search th=15 (doubled on failure), then pose-only LM."""
         last = self.last_frame
+        self._update_last_frame(last)
         frame.Tcw = self.velocity @ last.Tcw
         bound = last.mp_idx >= 0
         if bound.sum() < 10:
@@ -489,6 +500,21 @@ class Tracker:
         n_in = self._pose_optimize(frame)
         self.log(f"frame {frame.frame_id}: motion model {n_matches} matches, {n_in} inliers")
         return n_in >= 10
+
+    def _update_last_frame(self, last: FrameData):
+        """UpdateLastFrame (Tracking.cc:1020): re-anchor the last frame's pose
+        from its reference keyframe (`Tlr * Tcw_ref`) so BA / loop / NMI
+        refinements of the keyframe reach the motion model."""
+        if last.Tcr is None or last.ref_kf < 0:
+            return
+        Trw = np.eye(4, dtype=np.float32)
+        k = int(last.ref_kf)
+        while k >= 0 and not self.map.kf_valid[k]:
+            Trw = Trw @ self.map.kf_Tcp[k]
+            k = int(self.map.kf_parent[k])
+        if k < 0:
+            return
+        last.Tcw = (last.Tcr @ Trw @ self.map.kf_Tcw[k]).astype(np.float32)
 
     def _track_reference_keyframe(self, frame: FrameData) -> bool:
         """Tracking.cc:950: descriptor match against the reference KF's
@@ -748,9 +774,14 @@ class Tracker:
         frame.nmi_relocalized = out.relocalized
         frame.nmi_failed = out.failed
         if out.relocalized:
-            # reset searched drift axes (Tracking.cc:600-612)
-            self.dist_since_nmi[:] = 0.0
-            self.rot_since_nmi[:] = 0.0
+            # reset ONLY the drift axes the kernel searched (num > 1) —
+            # Tracking.cc:600-612 checks getNumSynth{X,Y,Z}/getNumWarp{X,Y,Z};
+            # collapsed axes keep accumulating so later searches stay sized
+            for ax in range(3):
+                if out.num_synth[ax] > 1:
+                    self.dist_since_nmi[ax] = 0.0
+                if out.num_warp[ax] > 1:
+                    self.rot_since_nmi[ax] = 0.0
         self.log(
             f"frame {frame.frame_id}: NMI {'ok' if out.relocalized else 'FAILED'} "
             f"score={out.nmi:.4f} iters={out.iterations}"
@@ -768,6 +799,7 @@ class Tracker:
         self.state = TrackingState.NOT_INITIALIZED
         self.velocity = None
         self.init_frame = None
+        self.trajectory = []  # Tracking.cc:1801-1804 clears the relative lists
         self.ref_kf = -1
         self.last_kf_frame_id = -1
         self.kfs_since_last_nmi = 0

@@ -1,11 +1,15 @@
-"""Batched Sim(3) estimation between two keyframes (loop closing).
+"""Batched Sim(3) estimation + refinement between two keyframes (loop closing).
 
 Replaces Sim3Solver (reference: src/Sim3Solver.cc — Horn's closed-form
 quaternion method on 3-point samples inside sequential RANSAC, :40 ctor /
-:143 iterate). TPU-first: all RANSAC hypotheses are Horn-solved in one vmapped
-batch; inliers are counted by reprojecting each side's points into the OTHER
-camera (the reference's CheckInliers does exactly this dual test with
-th2 = 9.21 * sigma2 per feature). Monocular => scale is free (bFixScale=false).
+:143 iterate) and Optimizer::OptimizeSim3 (src/Optimizer.cc:1063 — g2o LM on
+one Sim3 vertex with dual-direction reprojection edges, Huber sqrt(10), chi2-10
+outlier removal then re-optimization). TPU-first: all RANSAC hypotheses are
+Horn-solved in one vmapped batch; inliers are counted by reprojecting each
+side's points into the OTHER camera (the reference's CheckInliers does exactly
+this dual test); the refinement is a fixed-shape Gauss-Newton on the 7-DoF
+tangent with autodiff jacobians, everything masked. Monocular => scale is free
+(bFixScale=false).
 """
 
 from __future__ import annotations
@@ -120,3 +124,116 @@ def sim3_ransac(
     S12 = jnp.eye(4).at[:3, :3].set(s * R).at[:3, 3].set(t)
     n_inl = jnp.sum(inl)
     return Sim3Result(S12=S12, scale=s, inliers=inl, n_inliers=n_inl, ok=n_inl >= min_inliers)
+
+
+# --------------------------------------------------------------- OptimizeSim3
+
+CHI2_SIM3 = 10.0  # Optimizer.cc:1102 th2 (both edge directions)
+
+
+class Sim3OptResult(NamedTuple):
+    S12: jnp.ndarray  # [4, 4] refined sim3 (scale folded into rotation block)
+    scale: jnp.ndarray
+    inliers: jnp.ndarray  # [N] bool — chi2 <= 10 in BOTH directions
+    n_inliers: jnp.ndarray
+
+
+@functools.partial(jax.jit, static_argnames=("iters1", "iters2", "fix_scale"))
+def optimize_sim3(
+    K: jnp.ndarray,
+    S12_0: jnp.ndarray,  # [4, 4] initial sim3 (e.g. RANSAC output)
+    pts1_cam: jnp.ndarray,  # [N, 3] matched points in camera-1 frame
+    pts2_cam: jnp.ndarray,  # [N, 3] same points in camera-2 frame
+    uv1: jnp.ndarray,  # [N, 2] observed pixels in image 1
+    uv2: jnp.ndarray,
+    inv_sigma2_1: jnp.ndarray,
+    inv_sigma2_2: jnp.ndarray,
+    valid: jnp.ndarray,
+    iters1: int = 5,
+    iters2: int = 10,
+    fix_scale: bool = False,
+) -> Sim3OptResult:
+    """Optimizer::OptimizeSim3 (Optimizer.cc:1063) as masked Gauss-Newton.
+
+    Dual reprojection edges per match (p2 through S12 into image 1; p1 through
+    S21 into image 2), Huber delta = sqrt(10); after `iters1` iterations edges
+    with chi2 > 10 in either direction are dropped (the reference removes both
+    directions of a bad pair) and `iters2` more iterations run on the
+    survivors. Returns the refined S12 and the final inlier set.
+    """
+    from orbslam2_nmi_tpu.geometry import se3
+
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    s0 = jnp.linalg.norm(S12_0[:3, 0])
+    R_init = S12_0[:3, :3] / s0
+    t_init = S12_0[:3, 3]
+
+    def _proj(p):
+        z = jnp.where(jnp.abs(p[..., 2]) > 1e-9, p[..., 2], 1e-9)
+        return jnp.stack(
+            [fx * p[..., 0] / z + cx, fy * p[..., 1] / z + cy], -1
+        )
+
+    def _residuals(delta, R0, t0, ls0):
+        """delta = [omega(3), dt(3), dls(1)] applied on the left/additively."""
+        R = se3.so3_exp(delta[:3]) @ R0
+        t = t0 + delta[3:6]
+        ls = ls0 if fix_scale else ls0 + delta[6]
+        s = jnp.exp(ls)
+        p2in1 = s * (pts2_cam @ R.T) + t
+        r1 = uv1 - _proj(p2in1)
+        p1in2 = (1.0 / s) * ((pts1_cam - t) @ R)
+        r2 = uv2 - _proj(p1in2)
+        return r1, r2
+
+    def _chi2(R, t, ls):
+        r1, r2 = _residuals(jnp.zeros(7), R, t, ls)
+        c1 = jnp.sum(r1 * r1, -1) * inv_sigma2_1
+        c2 = jnp.sum(r2 * r2, -1) * inv_sigma2_2
+        return c1, c2
+
+    huber = jnp.sqrt(CHI2_SIM3)
+
+    def _gn_step(carry, mask):
+        R, t, ls = carry
+        zero = jnp.zeros(7)
+        (r1, r2), (J1, J2) = (
+            _residuals(zero, R, t, ls),
+            jax.jacfwd(lambda d: _residuals(d, R, t, ls))(zero),
+        )
+        c1 = jnp.sum(r1 * r1, -1) * inv_sigma2_1
+        c2 = jnp.sum(r2 * r2, -1) * inv_sigma2_2
+        # IRLS Huber weights per edge direction
+        w1 = jnp.where(c1 > CHI2_SIM3, huber / jnp.sqrt(jnp.maximum(c1, 1e-12)), 1.0)
+        w2 = jnp.where(c2 > CHI2_SIM3, huber / jnp.sqrt(jnp.maximum(c2, 1e-12)), 1.0)
+        w1 = w1 * inv_sigma2_1 * mask
+        w2 = w2 * inv_sigma2_2 * mask
+        H = jnp.einsum("nri,n,nrj->ij", J1, w1, J1) + jnp.einsum(
+            "nri,n,nrj->ij", J2, w2, J2
+        )
+        b = jnp.einsum("nri,n,nr->i", J1, w1, r1) + jnp.einsum(
+            "nri,n,nr->i", J2, w2, r2
+        )
+        H = H + 1e-6 * jnp.eye(7)
+        # e(d) ~ e0 + J d  =>  normal equations H d = -J^T W e0
+        d = -jnp.linalg.solve(H, b)
+        R_new = se3.so3_exp(d[:3]) @ R
+        t_new = t + d[3:6]
+        ls_new = ls if fix_scale else ls + d[6]
+        return (R_new, t_new, ls_new)
+
+    state = (R_init, t_init, jnp.log(s0))
+    mask = valid.astype(jnp.float32)
+    for _ in range(iters1):
+        state = _gn_step(state, mask)
+    c1, c2 = _chi2(*state)
+    good = valid & (c1 <= CHI2_SIM3) & (c2 <= CHI2_SIM3)
+    mask = good.astype(jnp.float32)
+    for _ in range(iters2):
+        state = _gn_step(state, mask)
+    c1, c2 = _chi2(*state)
+    inl = valid & (c1 <= CHI2_SIM3) & (c2 <= CHI2_SIM3)
+    R, t, ls = state
+    s = jnp.exp(ls)
+    S12 = jnp.eye(4).at[:3, :3].set(s * R).at[:3, 3].set(t)
+    return Sim3OptResult(S12=S12, scale=s, inliers=inl, n_inliers=jnp.sum(inl))

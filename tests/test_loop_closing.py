@@ -119,3 +119,58 @@ def test_no_false_loop_without_revisit(looped_map):
     for k in range(N_CHAIN - 1):  # exclude the revisit keyframe
         closed |= lc.process_keyframe(k)
     assert not closed
+
+
+def test_true_loop_passes_all_verification_gates(looped_map):
+    """ComputeSim3 parity gates (LoopClosing.cc:337-395): >= 20 optimized
+    inliers after SearchBySim3 + OptimizeSim3, >= 40 total matches after the
+    Scw projection search."""
+    cfg, m, db, gt, est = looped_map
+    lc = LoopCloser(cfg, m, db, local_mapper=None)
+    for k in range(N_CHAIN):
+        db.add(k, m.kf_feat_desc[k], m.kf_feat_valid[k])
+    ok, Scw, matched_cur, loop_mps = lc._compute_sim3(N_CHAIN - 1, 0)
+    assert ok
+    assert int((matched_cur >= 0).sum()) >= 40
+    assert len(loop_mps) >= 90
+
+
+def test_near_miss_loop_rejected_by_match_gates(looped_map):
+    """A candidate with only ~25 genuinely shared features used to pass the
+    round-1 raw-RANSAC >= 20 gate; the reference's >= 40 total-match gate
+    (LoopClosing.cc:391) must reject it."""
+    cfg, m, db, gt, est = looped_map
+    rng = np.random.default_rng(11)
+    last = N_CHAIN - 1
+    keep = 25
+    newd = rng.integers(0, 2**32, (N_FEAT - keep, 8), dtype=np.uint32)
+    m.kf_feat_desc[last, keep:] = newd
+    for f in range(keep, 90):
+        p = int(m.kf_mp_idx[last, f])
+        if p >= 0:
+            m.mp_desc[p] = newd[f - keep]
+    lc = LoopCloser(cfg, m, db, local_mapper=None)
+    for k in range(N_CHAIN):
+        db.add(k, m.kf_feat_desc[k], m.kf_feat_valid[k])
+    ok, *_ = lc._compute_sim3(last, 0)
+    assert not ok, "near-miss loop with ~25 true matches must be rejected"
+
+
+def test_loop_fusion_removes_seam_duplicates(looped_map):
+    """After a true loop closes, the revisit KF's duplicate landmarks must be
+    replaced by the loop side's points (loop fusion LoopClosing.cc:528-547 +
+    SearchAndFuse :595-627)."""
+    cfg, m, db, gt, est = looped_map
+    last = N_CHAIN - 1
+    own = [p for p in range(m.n_points) if m.mp_first_kf[p] == last and m.mp_valid[p]]
+    assert len(own) == 90
+    lc = LoopCloser(cfg, m, db, local_mapper=None)
+    lc.covisibility_consistency_th = 0
+    closed = False
+    for k in range(N_CHAIN):
+        closed |= lc.process_keyframe(k)
+    assert closed
+    surviving = int(sum(bool(m.mp_valid[p]) for p in own))
+    assert surviving <= len(own) // 2, (
+        f"{surviving}/{len(own)} seam duplicates survived the loop fusion"
+    )

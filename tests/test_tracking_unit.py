@@ -1,0 +1,109 @@
+"""Tracker unit behaviors: per-axis drift reset + UpdateLastFrame re-anchoring.
+
+Parity targets: Tracking.cc:600-612 (only searched NMI axes reset their drift
+accumulators) and Tracking.cc:1020 (UpdateLastFrame recomputes the last
+frame's pose from its reference keyframe before motion-model tracking).
+"""
+
+import numpy as np
+
+from orbslam2_nmi_tpu.config import CameraConfig, SystemConfig, TrackingConfig
+from orbslam2_nmi_tpu.slam.frame import FrameData
+from orbslam2_nmi_tpu.slam.map_store import MapStore
+from orbslam2_nmi_tpu.slam.nmi.localizer import NMIOutcome
+from orbslam2_nmi_tpu.slam.tracking import Tracker
+
+
+def _make_tracker(nmi=None):
+    cfg = SystemConfig(
+        camera=CameraConfig(fx=100, fy=100, cx=50, cy=50, width=100, height=100),
+        tracking=TrackingConfig(max_keyframes=8, max_map_points=64, max_features=16),
+    )
+    m = MapStore(cfg)
+    return Tracker(cfg, m, nmi_localizer=nmi), m
+
+
+def _frame(fid=0):
+    n = 4
+    return FrameData(
+        frame_id=fid, timestamp=0.0, Tcw=np.eye(4, dtype=np.float32),
+        xy=np.zeros((n, 2), np.float32), xy_raw=np.zeros((n, 2), np.float32),
+        octave=np.zeros(n, np.int32), angle=np.zeros(n, np.float32),
+        desc=np.zeros((n, 8), np.uint32), valid=np.ones(n, bool),
+    )
+
+
+class _FakeNMI:
+    """Returns a fixed outcome reporting which axes the kernel searched."""
+
+    def __init__(self, num_synth, num_warp):
+        self.num_synth = num_synth
+        self.num_warp = num_warp
+
+    def relocalize_strategy(self, gray, Tcw, **kw):
+        return NMIOutcome(
+            Tcw=Tcw, nmi=0.5, relocalized=True, failed=False, iterations=1,
+            previous_poses=[], num_synth=self.num_synth, num_warp=self.num_warp,
+        )
+
+
+def test_drift_reset_is_per_axis():
+    tr, _ = _make_tracker(nmi=_FakeNMI(num_synth=(3, 1, 3), num_warp=(1, 3, 1)))
+    tr._gray = np.zeros((8, 8), np.float32)
+    tr.dist_since_nmi[:] = [1.0, 2.0, 3.0]
+    tr.rot_since_nmi[:] = [0.1, 0.2, 0.3]
+    assert tr._run_nmi(_frame(), initializing=False)
+    # searched translation axes x,z reset; collapsed y keeps its drift
+    np.testing.assert_allclose(tr.dist_since_nmi, [0.0, 2.0, 0.0])
+    # searched rotation axis y resets; x,z keep theirs
+    np.testing.assert_allclose(tr.rot_since_nmi, [0.1, 0.0, 0.3])
+
+
+def test_update_last_frame_reanchors_from_ref_kf():
+    tr, m = _make_tracker()
+    feats = dict(
+        feat_xy=np.zeros((4, 2), np.float32), feat_octave=np.zeros(4, np.int32),
+        feat_angle=np.zeros(4, np.float32), feat_desc=np.zeros((4, 8), np.uint32),
+        feat_valid=np.ones(4, bool),
+    )
+    T_kf = np.eye(4, dtype=np.float32)
+    T_kf[:3, 3] = [1.0, 0.0, 0.0]
+    k = m.add_keyframe(T_kf, 0, 0.0, **feats)
+
+    last = _frame(fid=1)
+    Tcr = np.eye(4, dtype=np.float32)
+    Tcr[:3, 3] = [0.0, 0.0, 0.5]
+    last.ref_kf = k
+    last.Tcr = Tcr
+    last.Tcw = (Tcr @ T_kf).astype(np.float32)
+
+    # BA refines the keyframe: the re-anchored last-frame pose must follow
+    T_kf2 = T_kf.copy()
+    T_kf2[:3, 3] = [1.0, 0.2, -0.1]
+    m.kf_Tcw[k] = T_kf2
+    tr._update_last_frame(last)
+    np.testing.assert_allclose(last.Tcw, Tcr @ T_kf2, atol=1e-6)
+
+
+def test_update_last_frame_walks_culled_ref():
+    tr, m = _make_tracker()
+    feats = dict(
+        feat_xy=np.zeros((4, 2), np.float32), feat_octave=np.zeros(4, np.int32),
+        feat_angle=np.zeros(4, np.float32), feat_desc=np.zeros((4, 8), np.uint32),
+        feat_valid=np.ones(4, bool),
+    )
+    T0 = np.eye(4, dtype=np.float32)
+    T1 = np.eye(4, dtype=np.float32)
+    T1[:3, 3] = [0.5, 0.0, 0.0]
+    k0 = m.add_keyframe(T0, 0, 0.0, **feats)
+    k1 = m.add_keyframe(T1, 1, 0.1, **feats)
+    m.kf_parent[k1] = k0
+
+    last = _frame(fid=2)
+    last.ref_kf = k1
+    last.Tcr = np.eye(4, dtype=np.float32)
+    last.Tcw = T1.copy()
+
+    m.remove_keyframe(k1)  # stores kf_Tcp[k1]
+    tr._update_last_frame(last)
+    np.testing.assert_allclose(last.Tcw, m.kf_Tcp[k1] @ T0, atol=1e-6)
