@@ -408,12 +408,28 @@ class LocalMapper:
 
     def global_ba(self, iters: int = 20):
         """GlobalBundleAdjustemnt (Optimizer.cc:43) with NMI-fixed anchors
-        (Optimizer.cc:82 FORK). Used at NMI initialization and after loops."""
+        (Optimizer.cc:82 FORK). Used at NMI initialization and after loops.
+        Synchronous path: snapshot + solve + apply inline."""
+        with self.map.lock:
+            snap = self.global_ba_snapshot()
+        if snap is None:
+            return
+        res = local_ba.bundle_adjust(
+            snap[0], iters1=iters // 2, iters2=iters - iters // 2
+        )
+        self.global_ba_apply(res, *snap[1:])
+
+    def global_ba_snapshot(self):
+        """Build the full-map BA problem. Caller holds the map lock.
+
+        Returns (problem, kfs, pts, fixed) or None — the async pipeline runs
+        the solve off-thread (the reference's GBA thread, LoopClosing.cc:587)
+        and global_ba_apply propagates to state created meanwhile."""
         m = self.map
         kfs = [int(x) for x in m.valid_keyframe_indices()]
         pts = m.valid_point_indices()
         if len(kfs) < 1 or len(pts) < 10:
-            return
+            return None
         cam_pos_arr = np.full(m.kf_valid.shape[0], -1, np.int64)
         for i, kf in enumerate(kfs):
             cam_pos_arr[kf] = i
@@ -433,7 +449,7 @@ class LocalMapper:
         obs_w = self.inv_sigma2[m.kf_feat_octave[kk_flat, ff_flat]]
         O = len(obs_cam)
         if O < 20:
-            return
+            return None
         C = _next_pow2(len(kfs), 8)
         P = _next_pow2(len(pts), 256)
         Ob = _next_pow2(O, 1024)
@@ -472,14 +488,64 @@ class LocalMapper:
             obs_inv_sigma2=jnp.asarray(ow),
             obs_valid=jnp.asarray(ovalid),
         )
-        res = local_ba.bundle_adjust(prob, iters1=iters // 2, iters2=iters - iters // 2)
-        new_cams = np.asarray(res.cam_Tcw)
-        new_pts = np.asarray(res.pts_w)
-        for i, kf in enumerate(kfs):
-            if not fixed[i]:
-                m.kf_Tcw[kf] = new_cams[i]
-        m.mp_pos[pts] = new_pts[: len(pts)]
-        self.log(f"global BA: {len(kfs)} KFs, {len(pts)} pts, {O} obs")
+        return prob, kfs, pts, fixed
+
+    def global_ba_apply(self, res, kfs: list, pts: np.ndarray, fixed: np.ndarray):
+        """Write a (possibly stale) global-BA result back and propagate the
+        corrections to keyframes/points created while the solve ran, through
+        the spanning tree (RunGlobalBundleAdjustment tail,
+        LoopClosing.cc:690-756)."""
+        m = self.map
+        with m.lock:
+            Tbef = m.kf_Tcw.copy()  # mTcwBefGBA per keyframe
+            in_ba_kf = np.zeros(m.kf_valid.shape[0], bool)
+            in_ba_kf[kfs] = True
+            new_cams = np.asarray(res.cam_Tcw)
+            for i, kf in enumerate(kfs):
+                if not fixed[i] and m.kf_valid[kf]:
+                    m.kf_Tcw[kf] = new_cams[i]
+            # KFs created during the solve: Tcw = (Tcw_old @ inv(Tparent_old))
+            # @ Tparent_new — parents always precede children in index order
+            n_prop = 0
+            for kf in m.valid_keyframe_indices():
+                if in_ba_kf[kf]:
+                    continue
+                par = int(m.kf_parent[kf])
+                while par >= 0 and not m.kf_valid[par]:
+                    par = int(m.kf_parent[par])
+                if par < 0:
+                    continue
+                rel = Tbef[kf] @ np.linalg.inv(Tbef[par])
+                m.kf_Tcw[kf] = (rel @ m.kf_Tcw[par]).astype(np.float32)
+                n_prop += 1
+            # points solved by the BA (skip ones culled/replaced meanwhile)
+            new_pts = np.asarray(res.pts_w)
+            still = m.mp_valid[pts]
+            m.mp_pos[pts[still]] = new_pts[: len(pts)][still]
+            # points created during the solve: move with their reference KF
+            # (LoopClosing.cc:744-755: Rwc_new * (Rcw_bef * X + tcw_bef))
+            in_ba_pt = np.zeros(m.mp_valid.shape[0], bool)
+            in_ba_pt[pts] = True
+            others = m.valid_point_indices()
+            others = others[~in_ba_pt[others]]
+            if len(others):
+                ref = m.mp_first_kf[others].astype(np.int64)
+                ok = (ref >= 0) & m.kf_valid[np.maximum(ref, 0)]
+                others, ref = others[ok], ref[ok]
+                if len(others):
+                    ph = np.concatenate(
+                        [m.mp_pos[others], np.ones((len(others), 1), np.float32)], 1
+                    )
+                    corr = np.einsum(
+                        "nij,njk->nik",
+                        np.linalg.inv(m.kf_Tcw[ref]),
+                        Tbef[ref],
+                    )
+                    m.mp_pos[others] = np.einsum("nij,nj->ni", corr, ph)[:, :3]
+            self.log(
+                f"global BA: {len(kfs)} KFs, {len(pts)} pts "
+                f"(+{n_prop} KFs, {len(others)} pts propagated)"
+            )
 
     # ----------------------------------------------------------------- utils
 

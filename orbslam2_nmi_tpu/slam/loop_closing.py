@@ -61,6 +61,9 @@ class LoopCloser:
         self.local_mapper = local_mapper
         self.log = log_fn or (lambda s: None)
         self.consistent_groups: list[tuple[set, int]] = []
+        # async-mode hook: launches RunGlobalBundleAdjustment on its own
+        # thread with the abort protocol (set by MappingPipeline)
+        self.gba_launcher = None
         self.last_loop_kf = -1
         self.covisibility_consistency_th = 3  # LoopClosing.h mnCovisibilityConsistencyTh
         self.loop_edges: list[tuple[int, int, np.ndarray]] = []  # (i, j, S_ji)
@@ -86,31 +89,23 @@ class LoopCloser:
 
     def _detect_loop(self, k: int) -> list[int]:
         """DetectLoop (LoopClosing.cc:111): candidate gen + 3-consecutive
-        covisibility-consistency."""
+        covisibility-consistency. The minimum score is the lowest BoW
+        similarity to a covisible neighbor (:127-141)."""
         neighbors = self.map.covisible_keyframes(k)
         if len(neighbors) == 0:
             self.consistent_groups = []
             return []
-        scores = self.db.score_all(self.db.bows[k]) if self.db.active[k] else None
-        if scores is None:
-            # current KF not yet in db; score directly
-            bow = self.db.vocab.bow_vector(
-                self.map.kf_feat_desc[k], self.map.kf_feat_valid[k]
-            )
-            self.db.bows[k] = bow
-            scores = self.db.score_all(bow)
-        min_score = min(float(scores[int(n)]) for n in neighbors if self.db.active[int(n)]) if any(
-            self.db.active[int(n)] for n in neighbors
-        ) else 0.0
-
-        self.db.words[k] = set(
-            int(x)
-            for x in np.unique(
-                self.db.vocab.quantize(self.map.kf_feat_desc[k], self.map.kf_feat_valid[k])
-            )
-            if x >= 0
+        words, weights = self.db.compute_entry(
+            self.map.kf_feat_desc[k], self.map.kf_feat_valid[k]
         )
-        cands = self.db.detect_loop_candidates(self.map, k, min_score)
+        in_db = np.array([n for n in neighbors if self.db.active[int(n)]], np.int64)
+        if len(in_db):
+            neigh_scores = self.db.score_against(words, weights, in_db)
+            min_score = float(neigh_scores.min())
+        else:
+            min_score = 0.0
+
+        cands = self.db.detect_loop_candidates(self.map, k, words, weights, min_score)
         if not cands:
             self.consistent_groups = []
             return []
@@ -298,11 +293,12 @@ class LoopCloser:
         u = cam.K[0, 0] * pc[:, 0] / zs + cam.K[0, 2]
         v = cam.K[1, 1] * pc[:, 1] / zs + cam.K[1, 2]
         dist3d = np.linalg.norm(pc, axis=-1)
+        # 0.8/1.2 margins = MapPoint::Get{Min,Max}DistanceInvariance
         ok = (
             (z > 0)
             & (u >= 0) & (u < cam.width) & (v >= 0) & (v < cam.height)
-            & (dist3d >= m.mp_min_dist[mp_ids])
-            & (dist3d <= m.mp_max_dist[mp_ids])
+            & (dist3d >= 0.8 * m.mp_min_dist[mp_ids])
+            & (dist3d <= 1.2 * m.mp_max_dist[mp_ids])
         )
         if check_angle:
             s = float(np.linalg.norm(A[:3, 0]))
@@ -465,9 +461,11 @@ class LoopCloser:
         self.last_loop_kf = k
 
     def _run_global_ba(self):
-        """RunGlobalBundleAdjustment (LoopClosing.cc:652). Overridable hook so
-        the async pipeline can move it off the mapping worker."""
-        if self.local_mapper is not None:
+        """RunGlobalBundleAdjustment (LoopClosing.cc:652): on the async
+        pipeline, spawned on its own abortable thread; inline otherwise."""
+        if self.gba_launcher is not None:
+            self.gba_launcher(iters=10)
+        elif self.local_mapper is not None:
             self.local_mapper.global_ba(iters=10)
 
     def _search_and_fuse(self, corrected: dict[int, np.ndarray], loop_mps: np.ndarray):

@@ -17,6 +17,14 @@ Track() in the reference, Tracking.cc:377):
   * a newer queued keyframe aborts the pending BA (mbAbortBA semantics,
     LocalMapping.cc): the BA simply reruns at the newest keyframe.
 
+Global BA after a loop closure runs on its OWN transient thread (the
+reference's `new thread(&LoopClosing::RunGlobalBundleAdjustment, ...)`,
+LoopClosing.cc:587) with the mbStopGBA/mnFullBAIdx abort protocol: a newer
+loop bumps the generation counter and the stale solve's result is discarded;
+an accepted result propagates to keyframes/points created during the solve
+through the spanning tree (local_mapping.global_ba_apply). The keyframe
+worker and the tracker never stall on the solve.
+
 Synchronous mode (no pipeline) keeps byte-identical behavior to before —
 the lock is reentrant and uncontended.
 """
@@ -28,6 +36,8 @@ import threading
 import traceback
 from typing import Optional
 
+from orbslam2_nmi_tpu.solvers import local_ba
+
 
 class MappingPipeline:
     def __init__(self, system):
@@ -38,6 +48,11 @@ class MappingPipeline:
         self._drained = threading.Event()
         self._drained.set()
         self._errors: list = []
+        self._gba_lock = threading.Lock()
+        self._gba_idx = 0  # mnFullBAIdx
+        self._gba_thread: Optional[threading.Thread] = None
+        if system.loop_closer is not None:
+            system.loop_closer.gba_launcher = self.launch_global_ba
         self.thread = threading.Thread(
             target=self._run, daemon=True, name="local-mapping"
         )
@@ -83,12 +98,49 @@ class MappingPipeline:
                     if self._pending == 0:
                         self._drained.set()
 
+    # ----------------------------------------------------------- global BA
+
+    def launch_global_ba(self, iters: int = 10):
+        """RunGlobalBundleAdjustment on its own thread (LoopClosing.cc:587).
+        A newer launch aborts the in-flight one (mbStopGBA/mnFullBAIdx:
+        the stale result is discarded at apply time)."""
+        with self._gba_lock:
+            self._gba_idx += 1
+            idx = self._gba_idx
+
+        def run():
+            try:
+                lm = self.system.local_mapper
+                with self.system.map.lock:
+                    snap = lm.global_ba_snapshot()
+                if snap is None:
+                    return
+                prob, kfs, pts, fixed = snap
+                res = local_ba.bundle_adjust(
+                    prob, iters1=iters // 2, iters2=iters - iters // 2
+                )
+                with self._gba_lock:
+                    if idx != self._gba_idx:
+                        return  # aborted by a newer loop closure
+                lm.global_ba_apply(res, kfs, pts, fixed)
+            except Exception:  # pragma: no cover - surfaced via errors()
+                self._errors.append(traceback.format_exc())
+
+        t = threading.Thread(target=run, daemon=True, name="global-ba")
+        self._gba_thread = t
+        t.start()
+
     # ------------------------------------------------------------- control
 
     def flush(self, timeout: Optional[float] = None) -> bool:
         """Block until every queued keyframe has been processed (the
-        reference's Shutdown waits for LocalMapping::isFinished)."""
-        return self._drained.wait(timeout)
+        reference's Shutdown waits for LocalMapping::isFinished) and any
+        in-flight global BA has landed."""
+        ok = self._drained.wait(timeout)
+        t = self._gba_thread
+        if t is not None and t.is_alive():
+            t.join(timeout)
+        return ok
 
     def errors(self) -> list:
         return list(self._errors)

@@ -64,6 +64,7 @@ class SLAMSystem:
         self.vocabulary = None
         self.database = None
         self.loop_closer = None
+        self._vocab_buffer: list[np.ndarray] = []
         if cfg.vocabulary_path and os.path.exists(cfg.vocabulary_path):
             from orbslam2_nmi_tpu.slam.vocabulary import Vocabulary
 
@@ -84,26 +85,56 @@ class SLAMSystem:
         from orbslam2_nmi_tpu.slam.keyframe_database import KeyFrameDatabase
         from orbslam2_nmi_tpu.slam.loop_closing import LoopCloser
 
-        self.database = KeyFrameDatabase(self.vocabulary, self.cfg.tracking.max_keyframes)
+        self.database = KeyFrameDatabase(
+            self.vocabulary, self.cfg.tracking.max_keyframes,
+            max_words=self.cfg.tracking.max_features,
+        )
         # culled KFs must leave the place-recognition DB (KeyFrame.cc:504
         # erases from KeyFrameDatabase inside SetBadFlag)
         self.map.on_keyframe_removed.append(self.database.erase)
         self.loop_closer = LoopCloser(
             self.cfg, self.map, self.database, self.local_mapper, log_fn=self.log
         )
+        if getattr(self, "pipeline", None) is not None:
+            # async mode: global BA goes to its own abortable thread
+            self.loop_closer.gba_launcher = self.pipeline.launch_global_ba
+        # backfill keyframes created before the vocabulary existed
+        with self.map.lock:
+            for k in self.map.valid_keyframe_indices():
+                if not self.database.active[k]:
+                    self.database.add(
+                        int(k), self.map.kf_feat_desc[k], self.map.kf_feat_valid[k]
+                    )
 
     def ensure_vocabulary(self, descriptors, valid):
-        """Train the vocabulary on first-seen descriptors if none was loaded."""
+        """Train the vocabulary from early keyframes if none was loaded.
+
+        Descriptors are harvested across the first keyframes (the reference
+        instead ships a pre-trained ~1M-word ORBvoc.txt, System.cc:87; pass
+        `vocabulary_path` for that) and a k=8/depth=4 tree is trained once
+        enough are buffered; keyframes created before training are backfilled
+        into the database by _build_place_recognition."""
         if self.vocabulary is not None:
             return
         from orbslam2_nmi_tpu.slam.vocabulary import Vocabulary
 
-        d = descriptors[valid]
-        if len(d) < 64:
+        d = np.asarray(descriptors)[np.asarray(valid)]
+        if len(d):
+            self._vocab_buffer.append(d)
+        n_buf = sum(len(x) for x in self._vocab_buffer)
+        if n_buf < 64:
             return
-        self.vocabulary = Vocabulary.train(d, k=6, depth=3, seed=0)
+        # train once the buffer is rich enough (or early, for tiny test runs)
+        if n_buf < 4096 and len(self._vocab_buffer) < 4:
+            return
+        alld = np.concatenate(self._vocab_buffer)
+        self._vocab_buffer = []
+        self.vocabulary = Vocabulary.train(alld, k=8, depth=4, seed=0)
         self._build_place_recognition()
-        self.log(f"trained vocabulary: {self.vocabulary.n_words} words from {len(d)} descriptors")
+        self.log(
+            f"trained vocabulary: {self.vocabulary.n_words} words from "
+            f"{len(alld)} descriptors"
+        )
 
     @classmethod
     def from_yaml(cls, settings_path: str, **kw) -> "SLAMSystem":

@@ -696,8 +696,11 @@ class Tracker:
     # -------------------------------------------------------- relocalization
 
     def _relocalize(self, frame: FrameData) -> bool:
-        """BoW + PnP relocalization after tracking loss
-        (Tracking::Relocalization, Tracking.cc:1596)."""
+        """BoW + PnP relocalization after tracking loss with the reference's
+        guided-projection expansion loop (Tracking::Relocalization,
+        Tracking.cc:1596-1753): PnP -> pose LM -> if <50 inliers, a coarse
+        SearchByProjection (window 10, Hamming 100), re-optimize, then a
+        narrow pass (window 3, Hamming 64); accept only at >= 50 inliers."""
         db = self.system.database if self.system is not None else None
         if db is None:
             return False
@@ -710,7 +713,7 @@ class Tracker:
             return False
         if self._rng_key is None:
             self._rng_key = jax.random.PRNGKey(11)
-        for cand in cands[:5]:
+        for cand in cands:
             has_mp = self.map.kf_mp_idx[cand] >= 0
             if has_mp.sum() < 15:
                 continue
@@ -727,7 +730,7 @@ class Tracker:
             )
             idx = np.asarray(idx)
             src = np.nonzero(idx >= 0)[0]
-            if len(src) < 15:
+            if len(src) < 15:  # Tracking.cc:1633 nmatches<15
                 continue
             mp_ids = self.map.kf_mp_idx[cand][src]
             pts = self.map.mp_pos[mp_ids]
@@ -741,7 +744,7 @@ class Tracker:
                 jnp.asarray(pad_rows(uv, nb)),
                 jnp.asarray(pad_rows(self.inv_sigma2[frame.octave[idx[src]]], nb, 1.0)),
                 jnp.asarray(row_mask(len(src), nb)),
-                min_inliers=10,
+                min_inliers=10,  # SetRansacParameters(0.99,10,300,...) :1641
             )
             if not bool(res.ok):
                 continue
@@ -749,13 +752,90 @@ class Tracker:
             frame.mp_idx[:] = -1
             inl = np.asarray(res.inliers)[: len(src)]
             frame.mp_idx[idx[src[inl]]] = mp_ids[inl]
+            n_good = self._pose_optimize(frame)
+            if n_good < 10:
+                continue
+            frame.mp_idx[frame.outlier] = -1  # Tracking.cc:1699
+            # expansion loop (Tracking.cc:1705-1737)
+            if n_good < 50:
+                n_add = self._search_by_projection_kf(frame, cand, th=10.0, max_dist=100)
+                if n_add + n_good >= 50:
+                    n_good = self._pose_optimize(frame)
+                    if 30 < n_good < 50:
+                        n_add = self._search_by_projection_kf(frame, cand, th=3.0, max_dist=64)
+                        if n_good + n_add >= 50:
+                            n_good = self._pose_optimize(frame)
+                            frame.mp_idx[frame.outlier] = -1
+            if n_good < 50:  # Tracking.cc:1741 accept only at >= 50
+                continue
             self.ref_kf = cand
             self.log(
                 f"frame {frame.frame_id}: relocalized against KF {cand} "
-                f"({int(res.n_inliers)} inliers)"
+                f"({n_good} inliers)"
             )
             return True
         return False
+
+    def _search_by_projection_kf(
+        self, frame: FrameData, kf: int, th: float, max_dist: int
+    ) -> int:
+        """SearchByProjection(Frame, KeyFrame, sAlreadyFound, th, ORBdist)
+        (ORBmatcher.cc relocalization variant): project the keyframe's map
+        points not yet bound in the frame at the frame's current pose and bind
+        window matches. Returns the number of new bindings."""
+        m = self.map
+        already = set(frame.mp_idx[frame.mp_idx >= 0].tolist())
+        cand_mps = np.unique(m.kf_mp_idx[kf])
+        cand_mps = cand_mps[(cand_mps >= 0) & m.mp_valid[np.maximum(cand_mps, 0)]]
+        cand_mps = np.array([p for p in cand_mps if p not in already], np.int64)
+        if len(cand_mps) == 0:
+            return 0
+        pts = m.mp_pos[cand_mps]
+        pc = pts @ frame.Tcw[:3, :3].T + frame.Tcw[:3, 3]
+        z = pc[:, 2]
+        proj = self._project(frame.Tcw, pts)
+        dist = np.linalg.norm(pts - self._cam_center(frame.Tcw), axis=-1)
+        # 0.8/1.2 margins = MapPoint::Get{Min,Max}DistanceInvariance
+        ok = (
+            (z > 0)
+            & (proj[:, 0] >= 0) & (proj[:, 0] < self.cfg.camera.width)
+            & (proj[:, 1] >= 0) & (proj[:, 1] < self.cfg.camera.height)
+            & (dist >= 0.8 * m.mp_min_dist[cand_mps])
+            & (dist <= 1.2 * m.mp_max_dist[cand_mps])
+        )
+        cand_mps, proj, dist = cand_mps[ok], proj[ok], dist[ok]
+        if len(cand_mps) == 0:
+            return 0
+        sf = self.cfg.orb.scale_factor
+        n_lv = self.cfg.orb.n_levels
+        ratio = np.clip(
+            m.mp_max_dist[cand_mps] / np.maximum(dist, 1e-9), 1.0, float(sf) ** n_lv
+        )
+        pred = np.clip(np.ceil(np.log(ratio) / np.log(sf)).astype(np.int32), 0, n_lv - 1)
+        radius = th * sf ** pred.astype(np.float32)
+        nb = bucket(len(cand_mps))
+        sm = matching.window_mask(
+            jnp.asarray(pad_rows(proj.astype(np.float32), nb)),
+            jnp.asarray(frame.xy),
+            jnp.asarray(pad_rows(radius, nb)),
+            jnp.asarray(pad_rows(pred, nb)),
+            jnp.asarray(frame.octave),
+            level_window=1,
+        )
+        free = jnp.asarray((frame.mp_idx < 0) & frame.valid)
+        idx, _ = matching.match_descriptors(
+            jnp.asarray(pad_rows(m.mp_desc[cand_mps], nb)),
+            jnp.asarray(row_mask(len(cand_mps), nb)),
+            jnp.asarray(frame.desc),
+            free,
+            spatial_mask=sm,
+            max_dist=max_dist,
+            apply_ratio=False,
+        )
+        idx = np.asarray(idx)[: len(cand_mps)]
+        got = np.nonzero(idx >= 0)[0]
+        frame.mp_idx[idx[got]] = cand_mps[got]
+        return len(got)
 
     # ------------------------------------------------------------------ NMI
 
@@ -810,8 +890,7 @@ class Tracker:
         if self.system is not None and self.system.loop_closer is not None:
             self.system.loop_closer.consistent_groups = []
             self.system.loop_closer.loop_edges = []
-            self.system.database.active[:] = False
-            self.system.database.words.clear()
+            self.system.database.clear()
 
     def _project(self, Tcw: np.ndarray, pts: np.ndarray) -> np.ndarray:
         pc = (Tcw[:3, :3] @ pts.T).T + Tcw[:3, 3]

@@ -28,15 +28,28 @@ import jax.numpy as jnp
 import numpy as np
 
 
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], np.uint8)
+
+
 def popcount_rows(x: np.ndarray) -> np.ndarray:
     """Bit count per row of a uint32 array [..., 8]."""
-    return np.unpackbits(x.view(np.uint8), axis=-1).sum(-1)
+    return _POPCNT8[x.view(np.uint8)].sum(-1, dtype=np.int32)
 
 
 def hamming_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """[A, 8] x [B, 8] uint32 -> [A, B] int Hamming distances (numpy)."""
-    x = a[:, None, :] ^ b[None, :, :]
-    return np.unpackbits(x.view(np.uint8), axis=-1).sum(-1)
+    """[A, 8] x [B, 8] uint32 -> [A, B] int Hamming distances (numpy).
+
+    Byte-LUT popcount (8x less transient memory than unpackbits), chunked
+    over A so vocabulary training on 10^5+ descriptors stays in cache."""
+    A = len(a)
+    out = np.empty((A, len(b)), np.int32)
+    a8 = a.view(np.uint8)
+    b8 = b.view(np.uint8)
+    step = max(1, (1 << 24) // max(len(b), 1))
+    for i in range(0, A, step):
+        x = a8[i : i + step, None, :] ^ b8[None, :, :]
+        out[i : i + step] = _POPCNT8[x].sum(-1, dtype=np.int32)
+    return out
 
 
 def majority_center(descs: np.ndarray) -> np.ndarray:
@@ -120,6 +133,35 @@ class Vocabulary:
             word_weight=idf,
         )
 
+    @staticmethod
+    def synthetic(k: int, depth: int, seed: int = 0) -> "Vocabulary":
+        """Structurally complete random vocabulary of k^depth words.
+
+        For validating the lookup/database/serialization paths at the
+        reference's ORBvoc scale (k=10, depth=6 => 1M words, System.cc:87)
+        without hours of k-medians training — every code path treats it
+        identically to a trained tree."""
+        rng = np.random.default_rng(seed)
+        level_sizes = [k**i for i in range(depth + 1)]
+        n_nodes = sum(level_sizes)
+        node_desc = rng.integers(0, 2**32, (n_nodes, 8), dtype=np.uint32)
+        node_desc[0] = 0
+        children = np.full((n_nodes, k), -1, np.int32)
+        # level L occupies [offset_L, offset_L + k^L); children are contiguous
+        off = np.cumsum([0] + level_sizes)
+        for lvl in range(depth):
+            parents = np.arange(off[lvl], off[lvl + 1])
+            first_child = off[lvl + 1] + (parents - off[lvl]) * k
+            children[parents] = first_child[:, None] + np.arange(k)[None, :]
+        leaf_id = np.full(n_nodes, -1, np.int32)
+        n_words = level_sizes[-1]
+        leaf_id[off[depth] :] = np.arange(n_words, dtype=np.int32)
+        word_weight = rng.uniform(0.5, 2.0, n_words).astype(np.float32)
+        return Vocabulary(
+            k=k, depth=depth, node_desc=node_desc, children=children,
+            leaf_id=leaf_id, word_weight=word_weight,
+        )
+
     # ---------------------------------------------------------------- io
 
     def save(self, path: str):
@@ -165,32 +207,44 @@ class Vocabulary:
         else:
             with open(path) as f:
                 raw = f.read()
-        lines = raw.splitlines()
-        k, depth, _scoring, _weighting = (int(x) for x in lines[0].split()[:4])
+        head_end = raw.index("\n")
+        k, depth, _scoring, _weighting = (int(x) for x in raw[:head_end].split()[:4])
 
-        n_nodes = 1 + sum(1 for ln in lines[1:] if ln.strip())
+        # vectorized parse: every data line is `parent is_leaf b0..b31 weight`
+        # (35 numeric columns) — at reference scale (~1.1M lines for the
+        # 145 MB ORBvoc.txt) a Python per-line loop takes minutes; fromstring
+        # over the whole payload takes seconds
+        import io
+
+        body = raw[head_end + 1 :]
+        data = np.loadtxt(io.StringIO(body), dtype=np.float64, ndmin=2)
+        assert data.shape[1] == 35, f"malformed vocabulary file ({data.shape[1]} cols)"
+        n_data = len(data)
+        n_nodes = 1 + n_data
+
         node_desc = np.zeros((n_nodes, 8), np.uint32)
-        children = np.full((n_nodes, k), -1, np.int32)
-        n_children = np.zeros(n_nodes, np.int32)
-        leaf_id = np.full(n_nodes, -1, np.int32)
-        weights: list[float] = []
+        node_desc[1:] = (
+            data[:, 2:34].astype(np.uint8).reshape(n_data, 32).view(np.uint32)
+        )  # little-endian byte packing, OpenCV bit order
+        parent = data[:, 0].astype(np.int64)
+        is_leaf = data[:, 1] != 0
+        w_col = data[:, 34]
 
-        node = 0
-        for ln in lines[1:]:
-            parts = ln.split()
-            if not parts:
-                continue
-            node += 1
-            parent = int(parts[0])
-            is_leaf = int(float(parts[1])) != 0
-            desc_bytes = np.array([int(float(b)) for b in parts[2:34]], np.uint8)
-            node_desc[node] = desc_bytes.view(np.uint32)  # little-endian packing
-            weight = float(parts[34])
-            children[parent, n_children[parent]] = node
-            n_children[parent] += 1
-            if is_leaf:
-                leaf_id[node] = len(weights)
-                weights.append(weight)
+        # children table: stable-sort nodes by parent; slot = rank within group
+        node_ids = np.arange(1, n_nodes, dtype=np.int64)
+        order = np.argsort(parent, kind="stable")
+        sorted_parent = parent[order]
+        sorted_child = node_ids[order]
+        uniq, first = np.unique(sorted_parent, return_index=True)
+        slot = np.arange(n_data) - np.repeat(first, np.diff(np.append(first, n_data)))
+        children = np.full((n_nodes, k), -1, np.int32)
+        children[sorted_parent, slot] = sorted_child
+
+        # word ids assigned to leaves in file order (DBoW2 loadFromTextFile)
+        leaf_id = np.full(n_nodes, -1, np.int32)
+        leaf_nodes = node_ids[is_leaf]
+        leaf_id[leaf_nodes] = np.arange(is_leaf.sum(), dtype=np.int32)
+        weights = w_col[is_leaf].astype(np.float32)
 
         return Vocabulary(
             k=k,
@@ -198,29 +252,35 @@ class Vocabulary:
             node_desc=node_desc,
             children=children,
             leaf_id=leaf_id,
-            word_weight=np.asarray(weights, np.float32),
+            word_weight=weights,
         )
 
     def save_dbow2_text(self, path: str):
         """Write the DBoW2 text format (interchange with the reference).
         Inverse of load_dbow2_text; nodes are emitted in index order, which in
         our construction always places parents before children."""
-        parent = np.zeros(len(self.node_desc), np.int32)
-        for n in range(len(self.node_desc)):
-            for c in self.children[n]:
-                if c >= 0:
-                    parent[c] = n
+        n_nodes = len(self.node_desc)
+        parent = np.zeros(n_nodes, np.int64)
+        src = np.repeat(np.arange(n_nodes), self.children.shape[1])
+        dst = self.children.reshape(-1)
+        ok = dst >= 0
+        parent[dst[ok]] = src[ok]
+        is_leaf = (self.leaf_id >= 0).astype(np.int64)
+        w = np.zeros(n_nodes, np.float32)
+        w[is_leaf.astype(bool)] = self.word_weight[self.leaf_id[is_leaf.astype(bool)]]
+        desc_bytes = self.node_desc.view(np.uint8).reshape(n_nodes, 32)
+        cols = np.concatenate(
+            [
+                parent[1:, None].astype(np.float64),
+                is_leaf[1:, None].astype(np.float64),
+                desc_bytes[1:].astype(np.float64),
+                w[1:, None].astype(np.float64),
+            ],
+            axis=1,
+        )
         with open(path, "w") as f:
             f.write(f"{self.k} {self.depth} 0 0\n")
-            for node in range(1, len(self.node_desc)):
-                desc_bytes = self.node_desc[node].view(np.uint8)
-                is_leaf = int(self.leaf_id[node] >= 0)
-                w = self.word_weight[self.leaf_id[node]] if is_leaf else 0.0
-                f.write(
-                    f"{parent[node]} {is_leaf} "
-                    + " ".join(str(int(b)) for b in desc_bytes)
-                    + f" {w}\n"
-                )
+            np.savetxt(f, cols, fmt=["%d", "%d"] + ["%d"] * 32 + ["%.9g"])
 
     # ------------------------------------------------------------- lookup
 

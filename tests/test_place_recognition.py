@@ -278,3 +278,64 @@ def test_pose_graph_closes_loop():
     # scales should remain ~1
     for v in range(V):
         assert abs(float(se3.sim3_scale(jnp.asarray(out[v]))) - 1.0) < 0.05
+
+
+def test_dbow2_text_roundtrip_at_scale(tmp_path):
+    """load_dbow2_text on a reference-format file with 100k words (k=10,
+    depth=5 — the reference's ORBvoc.txt is k=10, depth=6): vectorized parse,
+    identical quantization after a save/load roundtrip."""
+    voc = Vocabulary.synthetic(k=10, depth=5, seed=1)
+    assert voc.n_words == 100_000
+    p = str(tmp_path / "voc100k.txt")
+    voc.save_dbow2_text(p)
+    voc2 = Vocabulary.load(p)
+    assert voc2.n_words == voc.n_words
+    np.testing.assert_array_equal(voc2.node_desc, voc.node_desc)
+    np.testing.assert_array_equal(voc2.children, voc.children)
+    np.testing.assert_array_equal(voc2.leaf_id, voc.leaf_id)
+    rng = np.random.default_rng(3)
+    desc = rng.integers(0, 2**32, (512, 8), dtype=np.uint32)
+    np.testing.assert_array_equal(voc.quantize(desc), voc2.quantize(desc))
+
+
+def test_database_bounded_at_reference_scale():
+    """2048 keyframes x 1M-word vocabulary: the inverted-file database stays
+    bounded (the round-1 dense [K, V] store would need ~8 GB) and candidate
+    queries work end-to-end."""
+    from orbslam2_nmi_tpu.config import CameraConfig, SystemConfig, TrackingConfig
+    from orbslam2_nmi_tpu.slam.map_store import MapStore
+
+    voc = Vocabulary.synthetic(k=10, depth=6, seed=2)
+    assert voc.n_words == 1_000_000
+    K = 2048
+    db = KeyFrameDatabase(voc, K, max_words=512)
+    rng = np.random.default_rng(4)
+    # every KF gets 300 random words; KF 7 and KF 2000 share most of theirs
+    shared = rng.choice(voc.n_words, 300, replace=False).astype(np.int64)
+    for kf in range(K):
+        if kf in (7, 2000):
+            words = np.sort(shared)
+        else:
+            words = np.sort(rng.choice(voc.n_words, 300, replace=False)).astype(np.int64)
+        weights = np.full(len(words), 1.0 / len(words), np.float32)
+        db.add_entry(kf, words, weights)
+
+    footprint = db.kf_words.nbytes + db.kf_weights.nbytes + db.kf_nwords.nbytes
+    assert footprint < 64 * 2**20, f"database arrays too large: {footprint/2**20:.0f} MB"
+
+    cfg = SystemConfig(
+        camera=CameraConfig(fx=1, fy=1, cx=0, cy=0, width=2, height=2),
+        tracking=TrackingConfig(max_keyframes=K, max_map_points=16, max_features=4),
+    )
+    m = MapStore(cfg)
+    m.n_keyframes = K
+    m.kf_valid[:K] = True
+
+    w7 = db.kf_words[7, : db.kf_nwords[7]]
+    x7 = db.kf_weights[7, : db.kf_nwords[7]]
+    cands = db.detect_loop_candidates(m, 7, w7, x7, min_score=0.0)
+    assert 2000 in cands
+    # an erased keyframe can no longer be returned as a candidate
+    db.erase(2000)
+    cands = db.detect_loop_candidates(m, 7, w7, x7, min_score=0.0)
+    assert 2000 not in cands
