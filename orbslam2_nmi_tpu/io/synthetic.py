@@ -10,7 +10,7 @@ generated the imagery (the ideal-case analogue of the ZU-MAV mesh).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import numpy as np
 
@@ -76,3 +76,141 @@ class SyntheticWorld:
             point_size=3,
         )
         return np.clip(np.asarray(img), 0, 255).astype(np.uint8)
+
+
+def terrain_mesh(seed: int = 0, n: int = 190, extent=(40.0, 30.0), base_z: float = 15.0,
+                 relief: float = 3.0):
+    """Textured undulating height-field mesh: 2(n-1)^2 triangles with a
+    multi-scale random-block 512x512 texture — piecewise-constant regions give
+    descriptors that are REPEATABLE under sub-pixel view shifts (per-texel
+    white noise decorrelates rBRIEF between frames), while block edges at
+    three scales (~0.6 m / 1.25 m / 5 m on the ground) supply FAST corners
+    across the whole pyramid. The same family of mesh feeds the NMI benchmark,
+    so the sequence oracle and the NMI prior model are the same kind of object
+    (the ideal-case analogue of the reference's ZU-MAV photogrammetry OBJ)."""
+    from orbslam2_nmi_tpu.io.model_loader import MeshModel
+
+    rng = np.random.default_rng(seed)
+    ex, ey = extent
+    xs = np.linspace(-ex, ex, n)
+    ys = np.linspace(-ey, ey, n)
+    X, Y = np.meshgrid(xs, ys, indexing="xy")
+    Z = base_z + relief * np.sin(X * 0.3) * np.cos(Y * 0.25)
+    verts = np.stack([X.ravel(), Y.ravel(), Z.ravel()], -1).astype(np.float32)
+    uvs = np.stack(
+        [(X.ravel() + ex) / (2 * ex), (Y.ravel() + ey) / (2 * ey)], -1
+    ).astype(np.float32)
+    ii, jj = np.meshgrid(np.arange(n - 1), np.arange(n - 1), indexing="ij")
+    a = (ii * n + jj).ravel()
+    b, c, d = a + 1, a + n + 1, a + n
+    faces = np.concatenate(
+        [np.stack([a, b, c], -1), np.stack([a, c, d], -1)]
+    ).astype(np.int32)
+
+    def _blocks(n_block: int, amp: float) -> np.ndarray:
+        r = rng.uniform(0, amp, (n_block, n_block))
+        return np.kron(r, np.ones((512 // n_block, 512 // n_block)))
+
+    tex = (15.0 + _blocks(128, 95) + _blocks(64, 75) + _blocks(16, 60)).clip(10, 245)
+    return MeshModel(vertices=verts, uvs=uvs, faces=faces,
+                     texture_gray=tex.astype(np.float32))
+
+
+@dataclass
+class SyntheticMeshWorld:
+    """Long-sequence oracle: a textured terrain mesh imaged along a CLOSED
+    circuit that revisits its start (loop-closure ground truth), rendered with
+    the engine's own tiled rasterizer (ops/raster.py) — so tracking, place
+    recognition, loop closing AND the NMI mesh path are all exercised against
+    exact ground truth (the analogue of a ZU-MAV-style aerial survey loop)."""
+
+    mesh: object
+    fx: float = 450.0
+    radius_x: float = 12.0
+    radius_y: float = 8.0
+    overlap: float = 0.10  # fraction of the circuit re-traversed at the end
+
+    @staticmethod
+    def generate(seed: int = 0, n_grid: int = 190) -> "SyntheticMeshWorld":
+        return SyntheticMeshWorld(mesh=terrain_mesh(seed=seed, n=n_grid))
+
+    def camera_K(self, width: int, height: int) -> np.ndarray:
+        return np.array(
+            [[self.fx, 0, width / 2], [0, self.fx, height / 2], [0, 0, 1]], np.float32
+        )
+
+    def pose_at(self, i: int, n_frames: int) -> np.ndarray:
+        """Tcw on an elliptical closed circuit at z=0 looking down (+z) at the
+        terrain, with gentle yaw/pitch wobble and a vertical swell. The last
+        `overlap` fraction of frames re-traverses the start arc."""
+        s = i / max(n_frames - 1, 1)
+        th = 2.0 * np.pi * s * (1.0 + self.overlap)
+        t = np.array(
+            [
+                self.radius_x * np.sin(th),
+                self.radius_y * (1.0 - np.cos(th)),
+                0.6 * np.sin(3.0 * th),
+            ],
+            np.float32,
+        )
+        yaw = 0.08 * np.sin(2.0 * th)
+        pitch = 0.05 * np.sin(th + 0.7)
+        import jax.numpy as jnp
+
+        R = np.asarray(se3.so3_exp(jnp.asarray([pitch, yaw, 0.0], jnp.float32)))
+        Tcw = np.eye(4, dtype=np.float32)
+        Tcw[:3, :3] = R
+        Tcw[:3, 3] = -R @ t
+        return Tcw
+
+    def render_frames(self, frame_ids, n_frames: int, width: int, height: int,
+                      batch: int = 16) -> np.ndarray:
+        """Render frames [len(frame_ids), H, W] u8 via the mesh rasterizer.
+
+        Each frame is binned (host) and rendered at its own exact pose; to
+        amortize the host<->device round trips the per-frame tile lists are
+        uploaded as one stacked array per `batch` frames and the rendered u8
+        frames fetched as one stacked array per batch."""
+        import jax
+        import jax.numpy as jnp
+
+        from orbslam2_nmi_tpu.ops import raster
+
+        K = self.camera_K(width, height)
+        near, far = self.near_far()
+        out = np.zeros((len(frame_ids), height, width), np.uint8)
+        zero = jnp.zeros((1, 3), jnp.float32)
+        for b0 in range(0, len(frame_ids), batch):
+            ids = list(frame_ids[b0 : b0 + batch])
+            poses, datas = [], []
+            binned = None
+            for i in ids:
+                T = self.pose_at(i, n_frames)
+                binned = raster.bin_mesh(
+                    self.mesh, T, K, height, width, near, far, capacity_floor=384,
+                    capacity_cap=384, device_arrays=False,
+                )
+                poses.append(T)
+                datas.append(binned.tri_data)
+            stacked = jax.device_put(np.stack(datas))  # one upload per batch
+            if b0 == 0:
+                tex_dev = jax.device_put(binned.texture)
+            imgs = [
+                raster.render_mesh_grid(
+                    binned._replace(tri_data=stacked[j], texture=tex_dev),
+                    poses[j], K, zero, near, far, interpret=_not_tpu(), out_u8=True,
+                )[0]
+                for j in range(len(ids))
+            ]
+            out[b0 : b0 + len(ids)] = np.asarray(jnp.stack(imgs))  # one fetch
+        return out
+
+    @staticmethod
+    def near_far() -> tuple:
+        return 4.0, 45.0
+
+
+def _not_tpu() -> bool:
+    import jax
+
+    return jax.devices()[0].platform not in ("tpu", "axon")

@@ -110,6 +110,8 @@ def bin_mesh(
     far: float,
     max_offset=0.0,
     capacity_cap: int = MAX_CAPACITY,
+    capacity_floor: int = 0,
+    device_arrays: bool = True,
 ) -> BinnedMesh:
     """Bin triangles into screen tiles at the grid-center pose (host, numpy).
 
@@ -176,7 +178,11 @@ def bin_mesh(
 
     if len(pair_tiles):
         counts = np.bincount(pair_tiles, minlength=n_tiles)
-        capacity = int(min(_pad_up(max(int(counts.max()), 1), 128), capacity_cap))
+        # capacity_floor pins the padded size across calls (e.g. per-frame
+        # sequence rendering) so the kernel compiles once
+        capacity = int(
+            min(max(_pad_up(max(int(counts.max()), 1), 128), capacity_floor), capacity_cap)
+        )
         order = np.argsort(pair_tiles, kind="stable")
         pt = pair_tiles[order]
         pf = pair_faces[order]
@@ -205,13 +211,17 @@ def bin_mesh(
     data[:, 15, :] = (tri_ids >= 0).astype(np.float32)
 
     tex_pad, tex_hw = _downsample_texture(mesh.texture_gray, MAX_TEX_DIM)
+    # device_arrays=False keeps everything host-side (numpy) — callers that
+    # bin per frame batch their own uploads instead of paying one host->device
+    # round trip per array per call
+    put = jnp.asarray if device_arrays else (lambda a: a)
     return BinnedMesh(
-        tri_data=jnp.asarray(data),
-        tri_ids=jnp.asarray(np.maximum(tri_ids, 0)),
-        verts=jnp.asarray(vt),
-        uvs=jnp.asarray(uvs),
-        faces=jnp.asarray(mesh.faces.astype(np.int32)),
-        texture=jnp.asarray(tex_pad),
+        tri_data=put(data),
+        tri_ids=put(np.maximum(tri_ids, 0)),
+        verts=put(vt),
+        uvs=put(uvs),
+        faces=put(mesh.faces.astype(np.int32)),
+        texture=put(tex_pad),
         tex_hw=tex_hw,
         tiles_y=tiles_y,
         tiles_x=tiles_x,
@@ -401,8 +411,10 @@ def render_mesh_grid(
     far: float,
     background: float = 0.0,
     interpret: bool = False,
+    out_u8: bool = False,
 ) -> jnp.ndarray:
-    """Render every translation candidate from a binned mesh: [S, H, W] f32.
+    """Render every translation candidate from a binned mesh: [S, H, W] f32
+    (or u8 when `out_u8` — cast on device; host fetches are 4x cheaper).
 
     Same calculateTranslation semantics as render.render_translation_grid
     (rendering.hpp:644-665): candidate s uses t' = t - offsets_cam[s].
@@ -427,7 +439,10 @@ def render_mesh_grid(
     gray = _sample_texture_matmul(
         keys, uu, vv, binned.texture, th, tw, float(background), interpret=interpret
     )
-    return _untile(gray, S, binned.tiles_y, binned.tiles_x, binned.height, binned.width)
+    img = _untile(gray, S, binned.tiles_y, binned.tiles_x, binned.height, binned.width)
+    if out_u8:
+        img = jnp.clip(img, 0.0, 255.0).astype(jnp.uint8)
+    return img
 
 
 def _sample_kernel(th: int, tw: int, background: float):

@@ -1,0 +1,70 @@
+"""Edge-sharded essential-graph Sim(3) optimization over a device mesh.
+
+The post-loop pose graph (solvers/pose_graph.py; reference
+Optimizer::OptimizeEssentialGraph, src/Optimizer.cc:798) has one natural
+parallel axis: the EDGES (spanning tree + loop + strong covisibility). Normal
+equations are additive over edges, so each chip assembles H/b from its edge
+shard and the blocks are psum-reduced over ICI; the dense [7V, 7V] solve is
+tiny (V = keyframes, a few hundred) and runs replicated on every chip —
+cheaper than sharding a Cholesky and keeps the updated poses already
+replicated for the next iteration (SURVEY.md §2.4 P7 pattern: block-row
+assembly + psum-reduced reduced system).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from orbslam2_nmi_tpu.solvers import pose_graph as pg
+
+
+def _pad_edges(prob: pg.PoseGraphProblem, multiple: int) -> pg.PoseGraphProblem:
+    E = prob.edge_i.shape[0]
+    pad = (-E) % multiple
+    if pad == 0:
+        return prob
+    eye = jnp.tile(jnp.eye(4), (pad, 1, 1))
+    return prob._replace(
+        edge_i=jnp.concatenate([prob.edge_i, jnp.zeros(pad, prob.edge_i.dtype)]),
+        edge_j=jnp.concatenate([prob.edge_j, jnp.zeros(pad, prob.edge_j.dtype)]),
+        edge_Sji=jnp.concatenate([prob.edge_Sji, eye]),
+        edge_valid=jnp.concatenate([prob.edge_valid, jnp.zeros(pad, bool)]),
+    )
+
+
+def sharded_optimize_pose_graph(
+    mesh, prob: pg.PoseGraphProblem, iters: int = 20, lam: float = 1e-16
+) -> jnp.ndarray:
+    """Same result as pose_graph.optimize_pose_graph, edges sharded over the
+    mesh (bitwise-equal H/b up to psum summation order)."""
+    D = mesh.devices.size
+    axis = mesh.axis_names[0]
+    prob = _pad_edges(prob, D)
+    V = prob.Scw.shape[0]
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(), P()),
+    )
+    def assemble(Scw, ei, ej, Sji, ev):
+        H, b = pg.assemble_normal_equations(Scw, ei, ej, Sji, ev, V)
+        return jax.lax.psum(H, axis), jax.lax.psum(b, axis)
+
+    @functools.partial(jax.jit, static_argnames=())
+    def run(Scw, ei, ej, Sji, ev, free):
+        def gn_step(S, _):
+            H, b = assemble(S, ei, ej, Sji, ev)
+            return pg.solve_and_update(S, H, b, free, lam), None
+
+        S, _ = jax.lax.scan(gn_step, Scw, None, length=iters)
+        return S
+
+    free = prob.valid & (~prob.fixed)
+    return run(prob.Scw, prob.edge_i, prob.edge_j, prob.edge_Sji, prob.edge_valid, free)

@@ -48,6 +48,7 @@ class MappingPipeline:
         self._drained = threading.Event()
         self._drained.set()
         self._errors: list = []
+        self._interrupt = False
         self._gba_lock = threading.Lock()
         self._gba_idx = 0  # mnFullBAIdx
         self._gba_thread: Optional[threading.Thread] = None
@@ -68,8 +69,21 @@ class MappingPipeline:
         self.q.put(int(k))
 
     def abort_requested(self) -> bool:
-        """True when a newer keyframe is waiting (mbAbortBA)."""
-        return not self.q.empty()
+        """True when a newer keyframe is waiting or the tracker asked for an
+        interrupt (mbAbortBA)."""
+        return not self.q.empty() or self._interrupt
+
+    def idle(self) -> bool:
+        """LocalMapping::AcceptKeyFrames equivalent: no keyframe queued or
+        being processed (the tracker's c1b / insert-gate reads this,
+        Tracking.cc:1259-1302)."""
+        return self._pending == 0
+
+    def interrupt_ba(self):
+        """LocalMapping::InterruptBA (Tracking.cc:1293): ask the in-flight
+        local BA to stop early so the mapper can accept keyframes sooner.
+        Cleared when the worker picks up its next keyframe."""
+        self._interrupt = True
 
     # ------------------------------------------------------------- consumer
 
@@ -79,6 +93,7 @@ class MappingPipeline:
             if k is None:
                 break
             try:
+                self._interrupt = False
                 sysm = self.system
                 sysm.local_mapper.process_keyframe(k, abort_fn=self.abort_requested)
                 with sysm.map.lock:

@@ -37,6 +37,7 @@ class SLAMSystem:
         output_dir: Optional[str] = None,
         verbose: bool = False,
         async_mapping: bool = False,
+        nmi_mesh=None,
     ):
         """`async_mapping=True` runs local mapping + loop closing in a
         background worker (the reference's thread layout, System.cc:116-120):
@@ -49,8 +50,7 @@ class SLAMSystem:
         self._verbose = verbose
         self._t0 = time.time()
 
-        nmi_mesh = None
-        if nmi_model is None and use_nmi:
+        if nmi_model is None and nmi_mesh is None and use_nmi:
             nmi_model, nmi_mesh = self._load_model_from_config()
         self.map = MapStore(cfg)
         self.localizer = (

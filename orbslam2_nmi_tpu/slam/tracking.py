@@ -643,17 +643,31 @@ class Tracker:
     # ------------------------------------------------------------- keyframes
 
     def _need_new_keyframe(self, frame: FrameData, n_inliers: int) -> bool:
-        """Tracking.cc:1217 monocular conditions (mapper assumed idle in the
-        step-interleaved scheduler)."""
+        """Tracking.cc:1217-1311 monocular conditions. In the synchronous
+        step-interleaved scheduler the mapper is idle by construction; in
+        async mode the reference's mapper-idle interplay applies: c1b requires
+        an idle mapper (:1259), and when the conditions hold but the mapper is
+        busy, the in-flight local BA is interrupted and NO keyframe is created
+        (monocular, :1290-1302)."""
         t = self.cfg.tracking
         if self.map.n_keyframes == 0:
             return False
+        pipeline = getattr(self.system, "pipeline", None) if self.system is not None else None
+        idle = pipeline.idle() if pipeline is not None else True
         ref_tracked = int((self.map.kf_mp_idx[self.ref_kf] >= 0).sum()) if self.ref_kf >= 0 else 0
         th_ref = max(int(0.9 * ref_tracked), 15)
         c1a = frame.frame_id >= self.last_kf_frame_id + t.max_frames
-        c1b = frame.frame_id >= self.last_kf_frame_id + t.min_frames
+        c1b = frame.frame_id >= self.last_kf_frame_id + t.min_frames and idle
         c2 = n_inliers < th_ref and n_inliers > 15
-        return bool((c1a or c1b) and c2) or bool(c1a and n_inliers > 15)
+        # the trailing c1a clause keeps keyframe cadence on sequences where
+        # tracking is too good for c2 (synthetic worlds track > 0.9*ref)
+        want = bool((c1a or c1b) and c2) or bool(c1a and n_inliers > 15)
+        if not want:
+            return False
+        if idle:
+            return True
+        pipeline.interrupt_ba()  # Tracking.cc:1293
+        return False
 
     def _create_keyframe(self, frame: FrameData):
         k = self.map.add_keyframe(

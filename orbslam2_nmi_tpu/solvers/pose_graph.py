@@ -48,6 +48,52 @@ def _residual_with_delta(di, dj, Si, Sj, Sji):
 _jac = jax.jacfwd(_residual_with_delta, argnums=(0, 1))
 
 
+def assemble_normal_equations(Scw, edge_i, edge_j, edge_Sji, edge_valid, V):
+    """Per-edge GN blocks scatter-added into dense H [V,V,7,7], b [V,7].
+
+    Factored out so the observation/edge-sharded multi-chip path
+    (parallel/sharded_pose_graph.py) can run it per edge shard and
+    psum-reduce the results — normal equations are additive over edges."""
+    Si = Scw[edge_i]
+    Sj = Scw[edge_j]
+    zero = jnp.zeros(7)
+    e = jax.vmap(_residual_with_delta, in_axes=(None, None, 0, 0, 0))(
+        zero, zero, Si, Sj, edge_Sji
+    )  # [E, 7]
+    Ji, Jj = jax.vmap(_jac, in_axes=(None, None, 0, 0, 0))(
+        zero, zero, Si, Sj, edge_Sji
+    )  # [E, 7, 7] each
+    w = edge_valid.astype(jnp.float32)
+    HII = jnp.einsum("eki,e,ekj->eij", Ji, w, Ji)
+    HJJ = jnp.einsum("eki,e,ekj->eij", Jj, w, Jj)
+    HIJ = jnp.einsum("eki,e,ekj->eij", Ji, w, Jj)
+    bI = jnp.einsum("eki,e,ek->ei", Ji, w, e)
+    bJ = jnp.einsum("eki,e,ek->ei", Jj, w, e)
+
+    H = jnp.zeros((V, V, 7, 7))
+    H = H.at[edge_i, edge_i].add(HII)
+    H = H.at[edge_j, edge_j].add(HJJ)
+    H = H.at[edge_i, edge_j].add(HIJ)
+    H = H.at[edge_j, edge_i].add(jnp.swapaxes(HIJ, -1, -2))
+    b = jnp.zeros((V, 7))
+    b = b.at[edge_i].add(bI)
+    b = b.at[edge_j].add(bJ)
+    return H, b
+
+
+def solve_and_update(Scw, H, b, free, lam):
+    """Solve the gated dense system and apply the sim3 update to free vertices."""
+    V = Scw.shape[0]
+    Hd = H.transpose(0, 2, 1, 3).reshape(V * 7, V * 7)
+    free7 = jnp.repeat(free, 7)
+    Hd = jnp.where(free7[:, None] & free7[None, :], Hd, 0.0)
+    Hd = Hd + jnp.diag(jnp.where(free7, lam, 1.0)) + 1e-6 * jnp.eye(V * 7)
+    bd = jnp.where(free7, -b.reshape(-1), 0.0)
+    delta = jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(Hd), bd).reshape(V, 7)
+    Scw_new = jax.vmap(lambda d, S: se3.sim3_exp(d) @ S)(delta, Scw)
+    return jnp.where(free[:, None, None], Scw_new, Scw)
+
+
 @functools.partial(jax.jit, static_argnames=("iters",))
 def optimize_pose_graph(prob: PoseGraphProblem, iters: int = 20, lam: float = 1e-16) -> jnp.ndarray:
     """Gauss-Newton over all sim3 vertices. Returns optimized Scw [V, 4, 4]."""
@@ -55,41 +101,10 @@ def optimize_pose_graph(prob: PoseGraphProblem, iters: int = 20, lam: float = 1e
     free = prob.valid & (~prob.fixed)
 
     def gn_step(Scw, _):
-        Si = Scw[prob.edge_i]
-        Sj = Scw[prob.edge_j]
-        zero = jnp.zeros(7)
-        e = jax.vmap(_residual_with_delta, in_axes=(None, None, 0, 0, 0))(
-            zero, zero, Si, Sj, prob.edge_Sji
-        )  # [E, 7]
-        Ji, Jj = jax.vmap(_jac, in_axes=(None, None, 0, 0, 0))(
-            zero, zero, Si, Sj, prob.edge_Sji
-        )  # [E, 7, 7] each
-        w = prob.edge_valid.astype(jnp.float32)
-        # assemble dense H [V*7, V*7], b [V*7]
-        HII = jnp.einsum("eki,e,ekj->eij", Ji, w, Ji)
-        HJJ = jnp.einsum("eki,e,ekj->eij", Jj, w, Jj)
-        HIJ = jnp.einsum("eki,e,ekj->eij", Ji, w, Jj)
-        bI = jnp.einsum("eki,e,ek->ei", Ji, w, e)
-        bJ = jnp.einsum("eki,e,ek->ei", Jj, w, e)
-
-        H = jnp.zeros((V, V, 7, 7))
-        H = H.at[prob.edge_i, prob.edge_i].add(HII)
-        H = H.at[prob.edge_j, prob.edge_j].add(HJJ)
-        H = H.at[prob.edge_i, prob.edge_j].add(HIJ)
-        H = H.at[prob.edge_j, prob.edge_i].add(jnp.swapaxes(HIJ, -1, -2))
-        b = jnp.zeros((V, 7))
-        b = b.at[prob.edge_i].add(bI)
-        b = b.at[prob.edge_j].add(bJ)
-
-        Hd = H.transpose(0, 2, 1, 3).reshape(V * 7, V * 7)
-        free7 = jnp.repeat(free, 7)
-        Hd = jnp.where(free7[:, None] & free7[None, :], Hd, 0.0)
-        Hd = Hd + jnp.diag(jnp.where(free7, lam, 1.0)) + 1e-6 * jnp.eye(V * 7)
-        bd = jnp.where(free7, -b.reshape(-1), 0.0)
-        delta = jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(Hd), bd).reshape(V, 7)
-        Scw_new = jax.vmap(lambda d, S: se3.sim3_exp(d) @ S)(delta, Scw)
-        Scw = jnp.where(free[:, None, None], Scw_new, Scw)
-        return Scw, None
+        H, b = assemble_normal_equations(
+            Scw, prob.edge_i, prob.edge_j, prob.edge_Sji, prob.edge_valid, V
+        )
+        return solve_and_update(Scw, H, b, free, lam), None
 
     Scw, _ = jax.lax.scan(gn_step, prob.Scw, None, length=iters)
     return Scw

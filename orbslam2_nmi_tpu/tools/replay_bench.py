@@ -1,0 +1,187 @@
+"""Long-sequence full-pipeline replay: the end-to-end fps + ATE harness.
+
+The analogue of the reference's dataset replay evaluation
+(Examples/Monocular/mono_ETH.cc:92-151): a 500+-frame 960x540 sequence is
+rendered from a textured terrain mesh along a CLOSED circuit (revisit loop)
+with the engine's own rasterizer (ops/raster.py), then replayed through the
+FULL pipeline — ORB tracking, local mapping, place recognition, loop closing,
+and NMI relocalization against the very mesh that generated the imagery.
+Reported:
+  * frames/s over the steady-state portion (wall clock, real chip — includes
+    host orchestration, mapping, loop closing and NMI spikes, unlike the
+    per-stage microbenchmarks in BASELINE.md),
+  * ATE-RMSE of the recomposed full trajectory (SaveFullTrajectory semantics)
+    against exact ground truth.
+
+Sequences are cached under /tmp (content-keyed) — generation costs a few
+minutes through the device tunnel and is paid once per machine.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+SEQ_VERSION = 2  # bump when world generation changes
+
+
+def sequence_cache_path(n_frames: int, width: int, height: int, seed: int) -> str:
+    d = os.environ.get("ORBSLAM2_NMI_TPU_SEQ_CACHE", "/tmp/orbslam2_nmi_tpu_seq")
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, f"seq_v{SEQ_VERSION}_{seed}_{n_frames}x{width}x{height}.npy")
+
+
+def generate_sequence(n_frames: int = 520, width: int = 960, height: int = 540,
+                      seed: int = 1, cache: bool = True):
+    """Returns (world, frames uint8 [N, H, W])."""
+    from orbslam2_nmi_tpu.io.synthetic import SyntheticMeshWorld
+
+    world = SyntheticMeshWorld.generate(seed=seed)
+    path = sequence_cache_path(n_frames, width, height, seed)
+    if cache and os.path.exists(path):
+        frames = np.load(path)
+        if frames.shape == (n_frames, height, width):
+            return world, frames
+    frames = world.render_frames(list(range(n_frames)), n_frames, width, height)
+    if cache:
+        tmp = path[: -len(".npy")] + f".tmp{os.getpid()}.npy"
+        np.save(tmp, frames)
+        os.replace(tmp, path)
+    return world, frames
+
+
+def build_system(world, width: int, height: int, n_features: int = 2000,
+                 n_levels: int = 8, use_nmi: bool = True, async_mapping: bool = True,
+                 max_keyframes: int = 512, output_dir=None):
+    import tempfile
+
+    import jax.numpy as jnp
+
+    from orbslam2_nmi_tpu.config import (
+        CameraConfig, NMIConfig, NMIGridConfig, ORBConfig, SystemConfig,
+        TrackingConfig,
+    )
+    from orbslam2_nmi_tpu.slam.system import SLAMSystem
+
+    K = world.camera_K(width, height)
+    near, far = world.near_far()
+    cfg = SystemConfig(
+        camera=CameraConfig(
+            fx=float(K[0, 0]), fy=float(K[1, 1]), cx=float(K[0, 2]),
+            cy=float(K[1, 2]), width=width, height=height, fps=30.0,
+        ),
+        orb=ORBConfig(n_features=n_features, n_levels=n_levels),
+        nmi=NMIConfig(
+            offset=8,
+            threshold=0.1,  # ETH_small.yaml:75
+            render_near=near,
+            render_far=far,
+            grid=NMIGridConfig(),
+            max_iteration_count=4,
+            reloc_frequency=2,
+        ),
+        tracking=TrackingConfig(
+            max_frames=30, max_keyframes=max_keyframes,
+            max_map_points=max_keyframes * 256,
+            max_features=max(2048, n_features + 48),
+        ),
+    )
+    return SLAMSystem(
+        cfg,
+        use_nmi=use_nmi,
+        nmi_mesh=world.mesh if use_nmi else None,
+        output_dir=output_dir or tempfile.mkdtemp(prefix="replay_bench_"),
+        async_mapping=async_mapping,
+    )
+
+
+def run_replay(world, frames, use_nmi: bool = True, async_mapping: bool = True,
+               n_features: int = 2000, n_levels: int = 8, warmup: int = 24,
+               output_dir=None) -> dict:
+    """Track every frame through the full pipeline; return fps + ATE metrics.
+
+    `warmup` frames are excluded from the fps numbers (XLA compiles on first
+    encounter of each stage/bucket shape — subsequent runs hit the compile
+    cache). ATE is computed over ALL tracked frames from the recomposed
+    relative-pose trajectory (SaveFullTrajectory semantics, System.cc:514-599)
+    so loop-closure / GBA / NMI corrections are reflected, and with no
+    alignment when NMI anchors the map to the world frame.
+    """
+    from orbslam2_nmi_tpu.io.trajectory import ate_rmse, recompose_trajectory
+    from orbslam2_nmi_tpu.slam.tracking import TrackingState
+
+    n_frames, height, width = frames.shape
+    sys_ = build_system(
+        world, width, height, n_features=n_features, n_levels=n_levels,
+        use_nmi=use_nmi, async_mapping=async_mapping, output_dir=output_dir,
+    )
+    sys_.set_init_poses(
+        world.pose_at(0, n_frames), world.pose_at(sys_.cfg.nmi.offset, n_frames)
+    )
+
+    n_ok = 0
+    t_frames = []
+    for i in range(n_frames):
+        t0 = time.perf_counter()
+        res = sys_.track_monocular(frames[i], i / 30.0)
+        t_frames.append(time.perf_counter() - t0)
+        if res.state == TrackingState.OK and res.Tcw is not None:
+            n_ok += 1
+    if sys_.pipeline is not None:
+        sys_.pipeline.flush(timeout=600.0)
+        errs = sys_.pipeline.errors()
+        assert not errs, errs[0]
+
+    with sys_.map.lock:
+        rows = recompose_trajectory(sys_.tracker.trajectory, sys_.map)
+    est = [r[2] for r in rows]
+    gt = [world.pose_at(r[0], n_frames) for r in rows]
+    ate = ate_rmse(est, gt, align=not use_nmi) if est else float("inf")
+
+    t_arr = np.asarray(t_frames[warmup:])
+    wall = float(t_arr.sum())
+    out = {
+        "n_frames": n_frames,
+        "n_tracked": n_ok,
+        "n_keyframes": int(sys_.map.n_keyframes),
+        "n_map_points": int(len(sys_.map.valid_point_indices())),
+        "fps_steady": len(t_arr) / wall if wall > 0 else 0.0,
+        "fps_median": 1.0 / float(np.median(t_arr)),
+        "frame_ms_p50": float(np.median(t_arr)) * 1e3,
+        "frame_ms_p95": float(np.quantile(t_arr, 0.95)) * 1e3,
+        "frame_ms_max": float(t_arr.max()) * 1e3,
+        "ate_rmse": ate,
+        "n_loop_closures": (
+            len(sys_.loop_closer.loop_edges) if sys_.loop_closer is not None else 0
+        ),
+    }
+    sys_.shutdown()
+    return out
+
+
+def main():
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--frames", type=int, default=520)
+    p.add_argument("--width", type=int, default=960)
+    p.add_argument("--height", type=int, default=540)
+    p.add_argument("--features", type=int, default=2000)
+    p.add_argument("--levels", type=int, default=8)
+    p.add_argument("--no-nmi", action="store_true")
+    p.add_argument("--sync", action="store_true", help="synchronous mapping")
+    args = p.parse_args()
+    world, frames = generate_sequence(args.frames, args.width, args.height)
+    out = run_replay(
+        world, frames, use_nmi=not args.no_nmi, async_mapping=not args.sync,
+        n_features=args.features, n_levels=args.levels,
+    )
+    import json
+
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()

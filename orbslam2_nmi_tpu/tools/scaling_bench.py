@@ -1,0 +1,160 @@
+"""Scaling-efficiency measurement for the sharded paths (BASELINE config 5).
+
+Runs the three shard_map paths — pose-grid-sharded NMI search, observation-
+sharded Schur BA, edge-sharded pose graph — on 1/2/4/8 virtual CPU devices
+(one fresh subprocess per device count: the XLA host-platform device count is
+fixed at backend init) and reports wall time + scaling efficiency
+t(1) / (n * t(n)).
+
+Caveat recorded with the numbers: virtual CPU devices share one machine's
+cores, so these figures measure how well the sharded programs parallelize
+across independent executors + the collective overhead — the shape of the
+scaling curve, not TPU-pod absolutes (each virtual device does 1/n of the
+work; ICI would only be faster than this loopback path). The same shard_map
+code runs unchanged on a real pod via parallel/distributed.init_runtime.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+_WORKER = r"""
+import os, sys, time, json
+n = int(sys.argv[1])
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + f" --xla_force_host_platform_device_count={n}"
+).strip()
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+from orbslam2_nmi_tpu.ops import homography, render
+from orbslam2_nmi_tpu.parallel import mesh as mesh_lib
+from orbslam2_nmi_tpu.parallel import sharded_ba, sharded_nmi, sharded_pose_graph
+from orbslam2_nmi_tpu.solvers import local_ba, pose_graph
+from orbslam2_nmi_tpu.geometry import se3
+
+mesh = mesh_lib.make_mesh(n)
+rng = np.random.default_rng(0)
+
+def timed(fn, n_runs=3):
+    fn()  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(n_runs):
+        fn()
+    return (time.perf_counter() - t0) / n_runs
+
+# --- NMI: 8 translation x 8 rotation candidates at 240x320 (point splat)
+H, W = 240, 320
+pts = np.stack([rng.uniform(-15, 15, 200_000), rng.uniform(-10, 10, 200_000),
+                rng.uniform(8, 20, 200_000)], -1).astype(np.float32)
+gray = ((np.floor(pts[:, 0]) * 37 + np.floor(pts[:, 1]) * 91) % 256).astype(np.float32)
+model = render.RenderModel(points=jnp.asarray(pts), gray=jnp.asarray(gray))
+K = jnp.asarray(np.array([[240.0, 0, 160], [0, 240.0, 120], [0, 0, 1]], np.float32))
+offsets = render.translation_grid_offsets((2, 2, 2), (0.3, 0.3, 0.3))
+angles = homography.rotation_grid_angles((2, 2, 2), (0.03, 0.03, 0.03))
+frame = render.render_pointcloud(model, jnp.eye(4), K, H, W, 1.0, 30.0, 3)
+t_nmi = timed(lambda: sharded_nmi.sharded_nmi_search(
+    mesh, model, frame, jnp.eye(4), offsets, angles, K, H, W, 1.0, 30.0,
+    use_pallas=False).block_until_ready())
+
+# --- BA: 64 cams x 4096 pts, ~40k observations
+n_cams, n_pts = 64, 4096
+pw = np.stack([rng.uniform(-10, 10, n_pts), rng.uniform(-8, 8, n_pts),
+               rng.uniform(10, 30, n_pts)], -1).astype(np.float32)
+Kb = np.array([[300.0, 0, 160], [0, 300.0, 120], [0, 0, 1]], np.float32)
+cams = np.tile(np.eye(4, dtype=np.float32), (n_cams, 1, 1))
+cams[:, 0, 3] = np.linspace(0, 6, n_cams)
+oc, op = np.meshgrid(np.arange(n_cams), np.arange(n_pts), indexing="ij")
+oc, op = oc.ravel(), op.ravel()
+keep = rng.random(len(oc)) < 0.15
+oc, op = oc[keep], op[keep]
+pc = np.einsum("oij,oj->oi", cams[oc, :3, :3], pw[op]) + cams[oc, :3, 3]
+uv = pc[:, :2] / pc[:, 2:3] * [300.0, 300.0] + [160.0, 120.0]
+prob = local_ba.BAProblem(
+    K=jnp.asarray(Kb), cam_Tcw=jnp.asarray(cams),
+    cam_fixed=jnp.asarray(np.arange(n_cams) < 2),
+    cam_valid=jnp.ones(n_cams, bool),
+    pts_w=jnp.asarray(pw + rng.normal(0, 0.02, pw.shape).astype(np.float32)),
+    pts_valid=jnp.ones(n_pts, bool),
+    obs_cam=jnp.asarray(oc, jnp.int32), obs_pt=jnp.asarray(op, jnp.int32),
+    obs_uv=jnp.asarray(uv.astype(np.float32)),
+    obs_inv_sigma2=jnp.ones(len(oc), jnp.float32),
+    obs_valid=jnp.ones(len(oc), bool),
+)
+t_ba = timed(lambda: sharded_ba.sharded_bundle_adjust(
+    mesh, prob, iters1=3, iters2=3).cam_Tcw.block_until_ready())
+
+# --- pose graph: 256 keyframes, chain + loop + covisibility edges
+V = 256
+est = np.tile(np.eye(4, dtype=np.float32), (V, 1, 1))
+est[:, 0, 3] = np.linspace(0, 20, V) + rng.normal(0, 0.05, V)
+ei = list(range(V - 1)) + [0] + list(range(0, V - 8, 4))
+ej = list(range(1, V)) + [V - 1] + list(range(8, V, 4))
+meas = [est[j] @ np.linalg.inv(est[i]) for i, j in zip(ei, ej)]
+pprob = pose_graph.PoseGraphProblem(
+    Scw=jnp.asarray(est), fixed=jnp.asarray(np.arange(V) == 0),
+    valid=jnp.ones(V, bool),
+    edge_i=jnp.asarray(ei, jnp.int32), edge_j=jnp.asarray(ej, jnp.int32),
+    edge_Sji=jnp.asarray(np.stack(meas).astype(np.float32)),
+    edge_valid=jnp.ones(len(meas), bool),
+)
+t_pg = timed(lambda: sharded_pose_graph.sharded_optimize_pose_graph(
+    mesh, pprob, iters=5).block_until_ready())
+
+print(json.dumps({"n": n, "nmi_s": t_nmi, "ba_s": t_ba, "pose_graph_s": t_pg}))
+"""
+
+
+def run(device_counts=(1, 2, 4, 8), out_path: str | None = None) -> dict:
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    rows = {}
+    for n in device_counts:
+        out = subprocess.run(
+            [sys.executable, "-c", _WORKER, str(n)],
+            capture_output=True, text=True, env=env, cwd=repo_root, timeout=1200,
+        )
+        assert out.returncode == 0, out.stdout + out.stderr
+        rows[n] = json.loads(out.stdout.strip().splitlines()[-1])
+    base = rows[device_counts[0]]
+    table = {"device_counts": list(device_counts), "stages": {}}
+    for key in ("nmi_s", "ba_s", "pose_graph_s"):
+        table["stages"][key] = {
+            "seconds": {n: rows[n][key] for n in device_counts},
+            # fixed TOTAL work on shared cores: ideal wall time is FLAT in n,
+            # so t(n)/t(1) isolates the cost sharding adds (collectives,
+            # padding, replicated solves) — the term that eats scaling
+            # efficiency on a real pod, where per-chip work drops 1/n
+            "overhead_factor": {
+                n: rows[n][key] / base[key] for n in device_counts
+            },
+            "efficiency_estimate": {
+                n: base[key] / rows[n][key] for n in device_counts
+            },
+        }
+    table["note"] = (
+        "1/2/4/8 virtual CPU devices on ONE shared-core host, fixed total "
+        "work: wall-clock speedup is impossible by construction, so the "
+        "reported overhead_factor t(n)/t(1) (ideal 1.0) measures what "
+        "sharding adds — collective traffic, shard padding, and replicated "
+        "solves (which cost n x total work here but run concurrently on "
+        "real chips). efficiency_estimate = 1/overhead_factor is the "
+        "corresponding pod-scaling estimate; the same shard_map code runs "
+        "unchanged on a real pod via parallel/distributed.init_runtime."
+    )
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(table, f, indent=1)
+    return table
+
+
+if __name__ == "__main__":
+    t = run(out_path=sys.argv[1] if len(sys.argv) > 1 else None)
+    print(json.dumps(t, indent=1))

@@ -126,3 +126,44 @@ def test_sharded_nmi_mesh_matches_single_device(mesh8):
     np.testing.assert_allclose(
         np.asarray(scores_sharded), np.asarray(scores_ref), atol=1e-4
     )
+
+
+def test_sharded_pose_graph_matches_single_device(mesh8):
+    """Edge-sharded essential-graph optimization == single-device result
+    (psum reassociation tolerance), including non-multiple-of-D edge counts."""
+    from orbslam2_nmi_tpu.geometry import se3
+    from orbslam2_nmi_tpu.parallel import sharded_pose_graph
+    from orbslam2_nmi_tpu.solvers import pose_graph
+
+    V = 10
+    gt = [
+        np.asarray(se3.se3_exp(jnp.asarray([0.5 * i, 0, 0, 0, 0, 0], jnp.float32)))
+        for i in range(V)
+    ]
+    est = [gt[0]]
+    for i in range(1, V):
+        rel = gt[i] @ np.linalg.inv(gt[i - 1])
+        bias = np.asarray(
+            se3.se3_exp(jnp.asarray([0.02, 0.01, 0.0, 0.0, 0.004, 0.0], jnp.float32))
+        )
+        est.append(bias @ rel @ est[i - 1])
+    est = np.stack(est)
+    edge_i = list(range(V - 1)) + [0]
+    edge_j = list(range(1, V)) + [V - 1]
+    meas = [est[i + 1] @ np.linalg.inv(est[i]) for i in range(V - 1)]
+    meas.append(gt[V - 1] @ np.linalg.inv(gt[0]))
+    prob = pose_graph.PoseGraphProblem(
+        Scw=jnp.asarray(est),
+        fixed=jnp.asarray(np.arange(V) == 0),
+        valid=jnp.ones(V, bool),
+        edge_i=jnp.asarray(edge_i, jnp.int32),
+        edge_j=jnp.asarray(edge_j, jnp.int32),
+        edge_Sji=jnp.asarray(np.stack(meas).astype(np.float32)),
+        edge_valid=jnp.ones(len(meas), bool),
+    )
+    assert len(edge_i) % 8 != 0  # exercises the edge padding path
+    single = np.asarray(pose_graph.optimize_pose_graph(prob, iters=10))
+    shard = np.asarray(
+        sharded_pose_graph.sharded_optimize_pose_graph(mesh8, prob, iters=10)
+    )
+    np.testing.assert_allclose(shard, single, atol=1e-4)

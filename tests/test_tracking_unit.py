@@ -107,3 +107,71 @@ def test_update_last_frame_walks_culled_ref():
     m.remove_keyframe(k1)  # stores kf_Tcp[k1]
     tr._update_last_frame(last)
     np.testing.assert_allclose(last.Tcw, m.kf_Tcp[k1] @ T0, atol=1e-6)
+
+
+def test_need_new_keyframe_respects_mapper_idle():
+    """Async-mode keyframe policy (Tracking.cc:1259-1302): with the mapping
+    worker busy, c1b is gated off and a due keyframe is NOT created — instead
+    the in-flight local BA is interrupted (monocular InterruptBA path)."""
+    from orbslam2_nmi_tpu.config import CameraConfig, ORBConfig, SystemConfig, TrackingConfig
+    from orbslam2_nmi_tpu.slam.frame import FrameData
+    from orbslam2_nmi_tpu.slam.map_store import MapStore
+    from orbslam2_nmi_tpu.slam.tracking import Tracker
+
+    cfg = SystemConfig(
+        camera=CameraConfig(fx=300, fy=300, cx=160, cy=120, width=320, height=240),
+        orb=ORBConfig(n_features=64, n_levels=2),
+        tracking=TrackingConfig(
+            max_frames=10, min_frames=0, max_keyframes=8, max_map_points=256,
+            max_features=64,
+        ),
+    )
+    m = MapStore(cfg)
+    rng = np.random.default_rng(0)
+    m.add_keyframe(
+        np.eye(4, dtype=np.float32), 0, 0.0,
+        np.zeros((64, 2), np.float32), np.zeros(64, np.int32),
+        np.zeros(64, np.float32), rng.integers(0, 2**32, (64, 8), dtype=np.uint32),
+        np.ones(64, bool),
+    )
+
+    class _Pipe:
+        def __init__(self, is_idle):
+            self._idle = is_idle
+            self.interrupted = False
+
+        def idle(self):
+            return self._idle
+
+        def interrupt_ba(self):
+            self.interrupted = True
+
+    class _Sys:
+        pass
+
+    sysm = _Sys()
+    tr = Tracker(cfg, m, system=sysm)
+    tr.ref_kf = 0
+    tr.last_kf_frame_id = 0
+
+    def frame(fid):
+        f = FrameData(
+            frame_id=fid, timestamp=fid / 10.0, Tcw=np.eye(4, dtype=np.float32),
+            xy=np.zeros((64, 2), np.float32), xy_raw=np.zeros((64, 2), np.float32),
+            octave=np.zeros(64, np.int32), angle=np.zeros(64, np.float32),
+            desc=np.zeros((64, 8), np.uint32), valid=np.ones(64, bool),
+        )
+        return f
+
+    # due by c1a cadence, mapper idle -> create
+    sysm.pipeline = _Pipe(True)
+    assert tr._need_new_keyframe(frame(12), n_inliers=30)
+    assert not sysm.pipeline.interrupted
+    # same frame, mapper busy -> no keyframe, BA interrupted
+    sysm.pipeline = _Pipe(False)
+    assert not tr._need_new_keyframe(frame(12), n_inliers=30)
+    assert sysm.pipeline.interrupted
+    # not due -> no interrupt either
+    sysm.pipeline = _Pipe(False)
+    assert not tr._need_new_keyframe(frame(5), n_inliers=200)
+    assert not sysm.pipeline.interrupted
