@@ -287,6 +287,7 @@ class LocalMapper:
         if snap is None:
             return
         prob, cams, pts, fixed, oc, op, O, n_local = snap
+        self._last_prob = prob  # kept for the divergence-dump diagnostics
         res = local_ba.bundle_adjust(
             prob,
             iters1=self.cfg.tracking.local_ba_iters1,
@@ -383,6 +384,27 @@ class LocalMapper:
         new_cams = np.asarray(res.cam_Tcw)
         new_pts = np.asarray(res.pts_w)
         inlier = np.asarray(res.obs_inlier)
+        # divergence guard: a solve that rejects (nearly) every observation is
+        # a failed solve (e.g. mutually inconsistent fixed anchors), not a
+        # legitimate outlier recollection — applying it would strip the map.
+        # g2o's LM would similarly refuse a step that explodes chi2.
+        n_bad = int((~inlier[:O]).sum())
+        if O >= 50 and n_bad > 0.8 * O:
+            self.log(
+                f"local BA REJECTED: {n_bad}/{O} observations marked outlier "
+                "(divergent solve, fixed-anchor conflict?) — result discarded"
+            )
+            import os
+
+            dump = os.environ.get("ORBSLAM2_NMI_TPU_DUMP_BAD_BA")
+            prob = getattr(self, "_last_prob", None)
+            if dump and prob is not None:
+                np.savez(
+                    os.path.join(dump, f"bad_ba_{O}.npz"),
+                    O=O, new_cams=new_cams, chi2=np.asarray(res.chi2),
+                    **{f: np.asarray(getattr(prob, f)) for f in prob._fields},
+                )
+            return
         for i, kf in enumerate(cams):
             if not fixed[i] and m.kf_valid[kf]:
                 m.kf_Tcw[kf] = new_cams[i]

@@ -140,7 +140,13 @@ class Tracker:
                 self.log("track lost soon after initialization, resetting")
                 self.reset()
 
-        # drift accumulators (Tracking.cc:648-662)
+        self.record_frame(frame_id, timestamp, frame)
+        return res
+
+    def record_frame(self, frame_id: int, timestamp: float, frame: FrameData):
+        """Per-frame bookkeeping shared by the classic and fused front-ends:
+        drift accumulators (Tracking.cc:648-662) and the relative-pose
+        trajectory row (Tracking.cc:667-691). Sets `last_frame`."""
         if (
             frame.Tcw is not None
             and self.last_frame is not None
@@ -172,7 +178,6 @@ class Tracker:
             last = self.trajectory[-1]
             self.trajectory.append((frame_id, timestamp, last[2], last[3], True, []))
         self.last_frame = frame
-        return res
 
     def _make_frame(self, frame_id: int, timestamp: float, gray_u8: np.ndarray) -> FrameData:
         feats = extract_orb(jnp.asarray(gray_u8), self.cfg.orb)
@@ -654,7 +659,17 @@ class Tracker:
             return False
         pipeline = getattr(self.system, "pipeline", None) if self.system is not None else None
         idle = pipeline.idle() if pipeline is not None else True
-        ref_tracked = int((self.map.kf_mp_idx[self.ref_kf] >= 0).sum()) if self.ref_kf >= 0 else 0
+        # nRefMatches = ReferenceKF->TrackedMapPoints(nMinObs): points seen
+        # from >= 3 keyframes (2 while the map is tiny) — Tracking.cc:1237-1244
+        ref_tracked = 0
+        if self.ref_kf >= 0:
+            min_obs = 3 if self.map.n_keyframes > 2 else 2
+            mp = self.map.kf_mp_idx[self.ref_kf]
+            ids = mp[mp >= 0]
+            if len(ids):
+                ref_tracked = int(
+                    (self.map.mp_valid[ids] & (self.map.mp_obs_n[ids] >= min_obs)).sum()
+                )
         th_ref = max(int(0.9 * ref_tracked), 15)
         c1a = frame.frame_id >= self.last_kf_frame_id + t.max_frames
         c1b = frame.frame_id >= self.last_kf_frame_id + t.min_frames and idle
