@@ -190,6 +190,15 @@ class SyntheticMeshWorld:
                     self.mesh, T, K, height, width, near, far, capacity_floor=384,
                     capacity_cap=384, device_arrays=False,
                 )
+                # the fixed 384 capacity keeps every frame the same compiled
+                # shape; silently dropped triangles would punch holes in the
+                # ground-truth imagery the ATE harness trusts, so overflow is
+                # a hard error (raise the cap if a denser mesh ever trips it)
+                if binned.overflow:
+                    raise ValueError(
+                        f"bin_mesh dropped {binned.overflow} triangles at "
+                        f"frame {i} (tile capacity 384 exceeded)"
+                    )
                 poses.append(T)
                 datas.append(binned.tri_data)
             stacked = jax.device_put(np.stack(datas))  # one upload per batch

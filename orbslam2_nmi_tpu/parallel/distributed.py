@@ -18,6 +18,7 @@ parallel/sharded_nmi.py, sharded_ba.py, sharded_pose_graph.py).
 
 from __future__ import annotations
 
+import logging
 import os
 from typing import Optional
 
@@ -55,13 +56,36 @@ def init_runtime(
     if process_id is None and "JAX_PROCESS_ID" in os.environ:
         process_id = int(os.environ["JAX_PROCESS_ID"])
 
-    if coordinator_address is None and num_processes is None:
+    if coordinator_address is None and num_processes is None and process_id is None:
         # single-process fallback (or TPU-pod auto-detection when available)
         try:
             jax.distributed.initialize()
-        except Exception:
-            pass  # plain single-host run: nothing to initialize
+        except Exception as e:  # plain single-host run: nothing to initialize
+            logging.getLogger(__name__).info(
+                "jax.distributed auto-initialize unavailable (%s); "
+                "continuing single-process", e,
+            )
         return jax
+
+    # explicit pod configuration: all three must be given together — a
+    # partial config (e.g. JAX_COORDINATOR_ADDRESS without JAX_NUM_PROCESSES)
+    # would otherwise fail deep inside jax with an obscure error, or worse,
+    # silently run as a mis-configured single host
+    missing = [
+        name
+        for name, v in (
+            ("coordinator_address/JAX_COORDINATOR_ADDRESS", coordinator_address),
+            ("num_processes/JAX_NUM_PROCESSES", num_processes),
+            ("process_id/JAX_PROCESS_ID", process_id),
+        )
+        if v is None
+    ]
+    if missing:
+        raise ValueError(
+            f"incomplete jax.distributed configuration: missing {missing} "
+            "(coordinator address, process count and process id must be "
+            "provided together)"
+        )
 
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

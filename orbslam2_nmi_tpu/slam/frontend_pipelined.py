@@ -69,23 +69,32 @@ class PipelinedFrontend:
                 inflight.append(ctx)
                 i += 1
                 if len(inflight) > self.lag:
-                    ok = self._process(inflight.popleft(), frames, timestamps, results)
-                    if not ok:
-                        # fused gates failed: drop in-flight work and rewind
-                        # to the first unprocessed frame for classic tracking
+                    status = self._process(inflight.popleft(), frames, timestamps, results)
+                    if status is not True:
+                        # rewind to the first unprocessed frame: on gate
+                        # failure ("fail") the carry is dropped so those
+                        # frames go through the classic fallback chain; on a
+                        # map mutation ("reseed", keyframe/BA/NMI) the
+                        # re-anchored carry is kept and the in-flight frames
+                        # are simply re-dispatched against the fresh map —
+                        # tracking a frame against a pre-keyframe carry and
+                        # then promoting it to a keyframe is how stale poses
+                        # get baked into the map.
                         first_bad = results.index(None)
                         inflight.clear()
-                        self._carry = None
+                        if status == "fail":
+                            self._carry = None
                         i = first_bad
                 continue
 
             # drain any leftover fused results first
             if inflight:
-                ok = self._process(inflight.popleft(), frames, timestamps, results)
-                if not ok:
+                status = self._process(inflight.popleft(), frames, timestamps, results)
+                if status is not True:
                     first_bad = results.index(None)
                     inflight.clear()
-                    self._carry = None
+                    if status == "fail":
+                        self._carry = None
                     i = first_bad
                 continue
 
@@ -157,15 +166,17 @@ class PipelinedFrontend:
             jnp.asarray(max_d), jnp.asarray(normal), jnp.asarray(valid),
         )
 
-    def _process(self, item, frames, timestamps, results) -> bool:
-        """Fetch + host-process one fused frame. Returns False when the frame
-        fails the tracking gates (caller rewinds to the classic path)."""
+    def _process(self, item, frames, timestamps, results):
+        """Fetch + host-process one fused frame. Returns True on success,
+        "fail" when the frame misses the tracking gates (caller rewinds to
+        the classic path), or "reseed" when this frame mutated the map
+        (caller re-dispatches in-flight frames against the fresh carry)."""
         idx, packed, prev_src, cand_ids = item
         tr = self.tracker
         u = fused_track.unpack_step(np.asarray(packed), self.n_feat, self.n_cand)
 
         if u.n_matches1 < 20 or u.n_inliers < 10:
-            return False
+            return "fail"
         prev_mp_idx = self._mp_hist[prev_src]
 
         n = self.n_feat
@@ -186,6 +197,7 @@ class PipelinedFrontend:
                 mp_idx[r] = -1
             else:
                 seen.add(p)
+        has_cand &= mp_idx >= 0  # dedup above may have dropped a binding
         bound = mp_idx >= 0
         outlier = bound & ~u.inlier
 
@@ -229,8 +241,13 @@ class PipelinedFrontend:
             frame.outlier[:] = False
             tr.record_frame(self._start + idx, float(timestamps[idx]), frame)
             self._mp_hist[self._start + idx] = frame.mp_idx.copy()
+            # only ids >= the carry source are ever looked up again — prune
+            # so memory stays bounded on streaming sequences
+            for old in [k for k in self._mp_hist if k < self._start + idx - 8]:
+                del self._mp_hist[old]
 
-            if self._reseed:
+            reseed = self._reseed
+            if reseed:
                 tr._update_last_frame(frame)  # adopt BA/NMI-corrected anchor
                 self._carry = fused_track.carry_from_frame(frame, m, tr.velocity)
                 self._carry_src = self._start + idx
@@ -239,4 +256,4 @@ class PipelinedFrontend:
         results[idx] = TrackResult(
             TrackingState.OK, frame.Tcw, u.n_inliers, is_kf, nmi_reloc
         )
-        return True
+        return "reseed" if reseed else True

@@ -720,6 +720,19 @@ class Tracker:
                 if self.system.loop_closer is not None:
                     if self.system.loop_closer.process_keyframe(k):
                         frame.Tcw = self.map.kf_Tcw[k].copy()
+            # adopt the keyframe's refreshed observation row: local mapping
+            # binds newly triangulated points to feature rows and fuse remaps
+            # replaced landmarks — in the reference mLastFrame's MapPoint*
+            # stay live through MapPoint::Replace forwarding; with SoA ids
+            # the equivalent is re-reading the row (keeps the motion model
+            # fed with fresh, BA-refined bindings)
+            n = len(frame.mp_idx)
+            fresh = self.map.kf_mp_idx[k, :n].copy()
+            fresh[fresh >= 0] = np.where(
+                self.map.mp_valid[fresh[fresh >= 0]], fresh[fresh >= 0], -1
+            )
+            frame.mp_idx = fresh
+            frame.outlier = np.zeros(n, bool)
         self.log(f"frame {frame.frame_id}: new keyframe {k}")
 
     # -------------------------------------------------------- relocalization
