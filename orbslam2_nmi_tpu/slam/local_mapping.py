@@ -59,13 +59,21 @@ class LocalMapper:
         mutations run under the map lock; the BA device solve does not.
         """
         with self.map.lock:
+            # a System::Reset may have wiped the map while this KF sat in the
+            # queue (the reference drains the mapping thread during Reset,
+            # Tracking.cc:1764-1779; our epoch check is the async equivalent)
+            epoch = self.map.epoch
+            if k >= self.map.n_keyframes or not self.map.kf_valid[k]:
+                return
             self._refresh_point_stats(k)
             self._cull_recent_points(k)
             self._create_new_map_points(k)
             self._fuse_neighbors(k)
         if self.map.n_keyframes > 2 and not (abort_fn and abort_fn()):
-            self.local_bundle_adjust(k)
+            self.local_bundle_adjust(k, epoch=epoch)
         with self.map.lock:
+            if self.map.epoch != epoch:
+                return
             if self.enable_kf_culling:
                 self._cull_keyframes(k)
 
@@ -276,13 +284,17 @@ class LocalMapper:
 
     # ------------------------------------------------------------------- BA
 
-    def local_bundle_adjust(self, k: int):
+    def local_bundle_adjust(self, k: int, epoch: int | None = None):
         """Optimizer::LocalBundleAdjustment (Optimizer.cc:472): covisible KFs
         free (NMI-anchored + KF 0 fixed), observer-only KFs fixed.
 
         Snapshot and write-back hold the map lock; the device solve runs
-        unlocked so an async tracking thread is never blocked on BA."""
+        unlocked so an async tracking thread is never blocked on BA. A result
+        computed against a map that was Reset mid-solve (epoch changed) is
+        discarded at write-back."""
         with self.map.lock:
+            if epoch is not None and self.map.epoch != epoch:
+                return
             snap = self._ba_snapshot(k)
         if snap is None:
             return
@@ -294,6 +306,8 @@ class LocalMapper:
             iters2=self.cfg.tracking.local_ba_iters2,
         )
         with self.map.lock:
+            if epoch is not None and self.map.epoch != epoch:
+                return
             self._ba_apply(res, cams, pts, fixed, oc, op, O, n_local)
 
     def _ba_snapshot(self, k: int):

@@ -73,6 +73,10 @@ class LoopCloser:
 
     def process_keyframe(self, k: int) -> bool:
         """Returns True if a loop was closed at this keyframe."""
+        # the KF may have been culled while queued, or the map Reset (the
+        # reference's LoopClosing queue checks isBad, LoopClosing.cc:102)
+        if k >= self.map.n_keyframes or not self.map.kf_valid[k]:
+            return False
         closed = False
         if self.map.n_keyframes >= 10 and k - self.last_loop_kf > 10:
             cands = self._detect_loop(k)

@@ -64,6 +64,11 @@ class MapStore:
 
     n_keyframes: int = 0
     n_points: int = 0
+    # generation counter, bumped by clear(): async workers snapshot it when
+    # they dequeue a keyframe and abandon their work if a System::Reset wiped
+    # the map underneath them (the reference serializes this by draining the
+    # mapping/loop threads in Tracking::Reset, Tracking.cc:1764-1779)
+    epoch: int = 0
 
     def __post_init__(self):
         import threading
@@ -76,6 +81,19 @@ class MapStore:
         # observers notified on KF removal (the reference erases culled KFs
         # from KeyFrameDatabase inside SetBadFlag, KeyFrame.cc:504)
         self.on_keyframe_removed: list = []
+        self._alloc()
+
+    def clear(self):
+        """Map::clear for System::Reset: wipe all state but KEEP the lock and
+        the keyframe-removal observers (callers must hold the lock). Bumps
+        `epoch` so in-flight async mapping work is discarded at its next
+        lock-acquiring phase instead of mutating the fresh map."""
+        self._alloc()
+        self.n_keyframes = 0
+        self.n_points = 0
+        self.epoch += 1
+
+    def _alloc(self):
         t = self.cfg.tracking
         K, P, F = t.max_keyframes, t.max_map_points, t.max_features
         M = MAX_OBS_PER_POINT
@@ -179,6 +197,8 @@ class MapStore:
 
     def covisible_keyframes(self, k: int, min_weight: int = COVIS_MIN_WEIGHT) -> np.ndarray:
         """KF indices sharing >= min_weight points with k, strongest first."""
+        if k >= self.n_keyframes or not self.kf_valid[k]:
+            return np.zeros(0, np.int64)
         row = self.covis[k, : self.n_keyframes].copy()
         row[k] = 0
         row = np.where(self.kf_valid[: self.n_keyframes], row, 0)
@@ -187,6 +207,8 @@ class MapStore:
 
     def best_covisible(self, k: int, n: int) -> np.ndarray:
         """GetBestCovisibilityKeyFrames(n) (KeyFrame.cc:143)."""
+        if k >= self.n_keyframes or not self.kf_valid[k]:
+            return np.zeros(0, np.int64)
         row = self.covis[k, : self.n_keyframes].copy()
         row[k] = 0
         row = np.where(self.kf_valid[: self.n_keyframes], row, 0)

@@ -127,6 +127,7 @@ class MappingPipeline:
             try:
                 lm = self.system.local_mapper
                 with self.system.map.lock:
+                    epoch = self.system.map.epoch
                     snap = lm.global_ba_snapshot()
                 if snap is None:
                     return
@@ -137,7 +138,10 @@ class MappingPipeline:
                 with self._gba_lock:
                     if idx != self._gba_idx:
                         return  # aborted by a newer loop closure
-                lm.global_ba_apply(res, kfs, pts, fixed)
+                with self.system.map.lock:
+                    if self.system.map.epoch != epoch:
+                        return  # System::Reset wiped the map mid-solve
+                    lm.global_ba_apply(res, kfs, pts, fixed)
             except Exception:  # pragma: no cover - surfaced via errors()
                 self._errors.append(traceback.format_exc())
 

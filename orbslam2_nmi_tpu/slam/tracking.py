@@ -915,9 +915,7 @@ class Tracker:
     def reset(self):
         """System::Reset semantics (Tracking.cc:1759-1808): wipe the map and
         reinitialize from scratch."""
-        self.map.__post_init__()
-        self.map.n_keyframes = 0
-        self.map.n_points = 0
+        self.map.clear()
         self.state = TrackingState.NOT_INITIALIZED
         self.velocity = None
         self.init_frame = None
