@@ -1,16 +1,30 @@
-"""Distributed Schur bundle adjustment: observations sharded over the mesh.
+"""Distributed Schur bundle adjustment: LANDMARKS sharded over the mesh.
 
-The g2o replacement (solvers/local_ba.py) assembles the normal equations from
-per-observation block outer-products; those sums are embarrassingly parallel
-over observations. This module shards the observation table across chips with
-shard_map: each chip reduces its shard's contributions to (Hcc, g_c, Hpp, g_p,
-Hcp), `jax.lax.psum` combines them over ICI, and every chip solves the
-identical (small) reduced camera system — poses/points stay replicated, so no
-re-gather is needed. This is the standard distributed-GN layout for BA
-(keyframe/observation partitioning, SURVEY.md §2.4 P7 and §5).
+The g2o replacement (solvers/local_ba.py) marginalizes landmarks with a Schur
+complement; the reduced camera system
 
-Communication per iteration: 36 C^2-free blocks — Hcc [C,6,6], Hcp [C,P,6,3],
-Hpp [P,3,3] — dominated by Hcp; for local-BA sizes this is a few MB over ICI.
+    S = Hcc - B Hpp^{-1} B^T,   g_s = g_c - B Hpp^{-1} g_p
+
+is ADDITIVE OVER POINTS once every observation of a point lives on the chip
+that owns the point. This module therefore shards the POINT array across the
+mesh and routes each observation to its point's shard (host-side grouping,
+one stable sort per solve):
+
+  * Hpp / gp / Hpp^{-1} / point back-substitution: fully local, scale 1/N.
+  * The Schur product B·(Hpp^{-1}Bᵀ) — the solve's dominant matmul — runs on
+    each chip over its point shard only: [6C, 3P/N] x [3P/N, 6C].
+  * The only collectives are psum([6C,6C]) + psum([6C]) (+ scalar chi2
+    totals): O(C^2) bytes per iteration, INDEPENDENT of the landmark count —
+    the textbook distributed-GN layout (SURVEY.md §2.4 P7: block-row Hessian
+    assembly + psum-reduced reduced camera system). An earlier design sharded
+    raw observations and psum'd the dense coupling blocks [C,P,6,3]; that
+    moved O(C·P) bytes per iteration and replicated the Schur matmul on every
+    chip.
+
+The (small) [6C,6C] solve stays replicated — cheaper than a distributed
+Cholesky and it leaves the updated poses already in place on every chip.
+Numerics match solvers.local_ba.bundle_adjust up to psum reassociation; the
+two-phase chi2-gating schedule is identical (Optimizer.cc:679-725).
 """
 
 from __future__ import annotations
@@ -19,98 +33,217 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
-from orbslam2_nmi_tpu.parallel.mesh import OBS_AXIS, POSE_AXIS
+from orbslam2_nmi_tpu.parallel.mesh import POSE_AXIS
 from orbslam2_nmi_tpu.solvers import local_ba
+from orbslam2_nmi_tpu.geometry import se3
+
+_HI = jax.lax.Precision.HIGHEST
 
 
-def _pad_obs(prob: local_ba.BAProblem, n_dev: int) -> local_ba.BAProblem:
-    O = prob.obs_cam.shape[0]
-    pad = (-O) % n_dev
-    if pad == 0:
-        return prob
-    return prob._replace(
-        obs_cam=jnp.pad(prob.obs_cam, (0, pad)),
-        obs_pt=jnp.pad(prob.obs_pt, (0, pad)),
-        obs_uv=jnp.pad(prob.obs_uv, ((0, pad), (0, 0))),
-        obs_inv_sigma2=jnp.pad(prob.obs_inv_sigma2, (0, pad), constant_values=1.0),
-        obs_valid=jnp.pad(prob.obs_valid, (0, pad)),
-    )
+def _group_obs_by_point_shard(obs_pt: np.ndarray, n_dev: int, p_loc: int):
+    """Stable-sort observation slots so each device receives exactly the
+    observations of its point shard. Returns (idx [n_dev, O_loc] source slot
+    or -1 pad, O_loc)."""
+    shard = np.minimum(obs_pt // p_loc, n_dev - 1)
+    order = np.argsort(shard, kind="stable")
+    counts = np.bincount(shard, minlength=n_dev)
+    o_loc = max(int(counts.max()), 1)
+    o_loc = -(-o_loc // 8) * 8  # pad for lane friendliness
+    idx = np.full((n_dev, o_loc), -1, np.int64)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    for d in range(n_dev):
+        idx[d, : counts[d]] = order[starts[d] : starts[d] + counts[d]]
+    return idx, o_loc
 
 
 def sharded_bundle_adjust(
     mesh, prob: local_ba.BAProblem, iters1: int = 5, iters2: int = 10, axis: str = POSE_AXIS
 ) -> local_ba.BAResult:
-    """bundle_adjust with the observation table sharded over `axis`.
+    """bundle_adjust with the landmark array (and each landmark's
+    observations) sharded over `axis`.
 
     Matches solvers.local_ba.bundle_adjust numerically (psum is exact up to
     float reassociation); the two-phase chi2-gating schedule is identical.
     """
     n_dev = mesh.shape[axis]
-    prob = _pad_obs(prob, n_dev)
+    C = prob.cam_Tcw.shape[0]
+    P_n = prob.pts_w.shape[0]
+    O = prob.obs_cam.shape[0]
+    p_loc = -(-P_n // n_dev)
+    p_pad = p_loc * n_dev
 
-    obs_spec = local_ba.BAProblem(
-        K=P(),
-        cam_Tcw=P(),
-        cam_fixed=P(),
-        cam_valid=P(),
-        pts_w=P(),
-        pts_valid=P(),
-        obs_cam=P(axis),
-        obs_pt=P(axis),
-        obs_uv=P(axis, None),
-        obs_inv_sigma2=P(axis),
-        obs_valid=P(axis),
+    obs_pt_h = np.asarray(prob.obs_pt)
+    idx, o_loc = _group_obs_by_point_shard(obs_pt_h, n_dev, p_loc)
+    safe = np.maximum(idx, 0).reshape(-1)
+    pad_ok = (idx >= 0).reshape(-1)
+
+    def gather_obs(a, fill=0):
+        out = np.asarray(a)[safe]
+        if out.ndim == 1:
+            return np.where(pad_ok, out, fill)
+        return np.where(pad_ok[:, None], out, fill)
+
+    shard_of_slot = np.repeat(np.arange(n_dev), o_loc)
+    obs_cam_s = jnp.asarray(gather_obs(prob.obs_cam))
+    obs_pt_s = jnp.asarray(
+        np.where(pad_ok, obs_pt_h[safe] - shard_of_slot * p_loc, 0).astype(np.int32)
     )
+    obs_uv_s = jnp.asarray(gather_obs(prob.obs_uv))
+    obs_w_s = jnp.asarray(gather_obs(prob.obs_inv_sigma2, fill=1.0))
+    obs_valid_full = np.asarray(prob.obs_valid) & np.asarray(prob.cam_valid)[
+        np.asarray(prob.obs_cam)
+    ]
+    obs_valid_s = jnp.asarray(gather_obs(obs_valid_full, fill=False))
+
+    pts_pad = jnp.zeros((p_pad, 3), prob.pts_w.dtype).at[:P_n].set(prob.pts_w)
+    ptsv_pad = jnp.zeros((p_pad,), bool).at[:P_n].set(prob.pts_valid)
+
+    cam_free = (~prob.cam_fixed) & prob.cam_valid
 
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(obs_spec,),
-        out_specs=local_ba.BAResult(
-            cam_Tcw=P(), pts_w=P(), obs_inlier=P(axis), chi2=P(axis)
+        in_specs=(
+            P(), P(), P(),  # K, cam_Tcw, cam_free
+            P(axis), P(axis),  # pts, pts_valid
+            P(axis), P(axis), P(axis), P(axis), P(axis),  # obs
         ),
+        out_specs=(P(), P(axis), P(axis), P(axis)),
         check_vma=False,
     )
-    def run(p_local: local_ba.BAProblem) -> local_ba.BAResult:
-        allreduce = lambda x: jax.lax.psum(x, axis)
-        K = p_local.K
-        active0 = (
-            p_local.obs_valid
-            & p_local.pts_valid[p_local.obs_pt]
-            & p_local.cam_valid[p_local.obs_cam]
-        )
+    def run(K, cam0, free, pts0, ptsv, ocam, opt, ouv, ow, ovalid):
+        P_l = pts0.shape[0]
 
-        def phase(cam, pts, active, n_iters):
+        def iteration(cam_Tcw, pts_w, active, lam, use_huber):
+            r, Jc, Jp, z = local_ba._residuals(K, cam_Tcw, pts_w, ocam, opt, ouv)
+            chi2 = jnp.sum(r * r, axis=-1) * ow
+            rho_w = jnp.where(
+                use_huber & (chi2 > local_ba.CHI2_MONO),
+                local_ba.HUBER_DELTA / jnp.sqrt(chi2 + 1e-12),
+                1.0,
+            )
+            w = ow * rho_w * active * (z > 0)
+            Jc = Jc * free[ocam].astype(Jc.dtype)[:, None, None]
+            wJc = Jc * w[:, None, None]
+            wJp = Jp * w[:, None, None]
+
+            # camera blocks: partial over this shard's observations
+            Hcc = jax.ops.segment_sum(
+                jnp.einsum("oik,oil->okl", wJc, Jc, precision=_HI), ocam, num_segments=C
+            )
+            gc = jax.ops.segment_sum(
+                jnp.einsum("oik,oi->ok", wJc, r, precision=_HI), ocam, num_segments=C
+            )
+            # landmark blocks: COMPLETE locally (all obs of local points here)
+            Hpp = jax.ops.segment_sum(
+                jnp.einsum("oik,oil->okl", wJp, Jp, precision=_HI), opt, num_segments=P_l
+            )
+            gp = jax.ops.segment_sum(
+                jnp.einsum("oik,oi->ok", wJp, r, precision=_HI), opt, num_segments=P_l
+            )
+            Hcp = jax.ops.segment_sum(
+                jnp.einsum("oik,oil->okl", wJc, Jp, precision=_HI),
+                ocam * P_l + opt,
+                num_segments=C * P_l,
+            ).reshape(C, P_l, 6, 3)
+
+            lamI3 = lam * jnp.eye(3)
+            Hpp = Hpp + lamI3[None] + 1e-8 * jnp.eye(3)[None]
+            Hpp_inv = local_ba._spd_inv3(Hpp) * ptsv[:, None, None]
+
+            # partial reduced system over the local point shard
+            B = Hcp.transpose(0, 2, 1, 3).reshape(C * 6, P_l * 3)
+            HppinvBT = jnp.einsum("pkl,cpjl->cpjk", Hpp_inv, Hcp, precision=_HI)
+            HppinvBT_m = HppinvBT.transpose(1, 3, 0, 2).reshape(P_l * 3, C * 6)
+            S_part = -jnp.matmul(B, HppinvBT_m, precision=_HI)
+            S_part = S_part.reshape(C, 6, C, 6)
+            S_part = S_part.at[jnp.arange(C), :, jnp.arange(C), :].add(Hcc)
+            gp_tilde = jnp.einsum("pkl,pl->pk", Hpp_inv, gp, precision=_HI)
+            g_part = gc.reshape(-1) - jnp.matmul(B, gp_tilde.reshape(-1), precision=_HI)
+
+            # the ONLY non-scalar collectives: [6C, 6C] + [6C]
+            S = jax.lax.psum(S_part.reshape(C * 6, C * 6), axis)
+            g_s = jax.lax.psum(g_part, axis)
+
+            lamI6 = lam * jnp.eye(6)
+            S = S.reshape(C, 6, C, 6)
+            S = S.at[jnp.arange(C), :, jnp.arange(C), :].add(
+                lamI6[None] + 1e-8 * jnp.eye(6)[None]
+            )
+            S = S.reshape(C * 6, C * 6)
+            free6 = jnp.repeat(free, 6)
+            S = jnp.where(free6[:, None] & free6[None, :], S, 0.0)
+            S = S + jnp.diag(jnp.where(free6, 0.0, 1.0))
+            g_s = jnp.where(free6, g_s, 0.0)
+            dxc = jax.scipy.linalg.cho_solve(
+                jax.scipy.linalg.cho_factor(S + 1e-8 * jnp.eye(C * 6)), g_s
+            ).reshape(C, 6)
+
+            # back-substitute the local point shard
+            Bt_dxc = jnp.einsum("cpkl,ck->pl", Hcp, dxc, precision=_HI)
+            dp = jnp.einsum("pkl,pl->pk", Hpp_inv, gp - Bt_dxc, precision=_HI)
+            dp = dp * ptsv[:, None]
+            new_cams = jnp.where(
+                free[:, None, None],
+                se3.se3_compose(se3.batched_se3_exp(dxc), cam_Tcw),
+                cam_Tcw,
+            )
+            return new_cams, pts_w + dp
+
+        def chi2_of(cam, pts):
+            r, _, _, z = local_ba._residuals(K, cam, pts, ocam, opt, ouv)
+            return jnp.sum(r * r, axis=-1) * ow, z
+
+        cam_valid_obs = ovalid  # padding already folded into ovalid
+        active0 = cam_valid_obs & ptsv[opt]
+
+        def phase(cam, pts, active, n_iters, use_huber):
             def body(carry, _):
                 cam, pts, lam, best = carry
-                new_cam, new_pts, _ = local_ba._ba_iteration(
-                    K, cam, pts, p_local, active.astype(jnp.float32), lam,
-                    jnp.asarray(True), allreduce=allreduce,
+                new_cam, new_pts = iteration(
+                    cam, pts, active.astype(jnp.float32), lam, use_huber
                 )
-                chi2_new, z = local_ba._chi2_of(K, new_cam, new_pts, p_local)
-                total = allreduce(jnp.sum(chi2_new * active * (z > 0)))
+                chi2_new, z = chi2_of(new_cam, new_pts)
+                total = jax.lax.psum(jnp.sum(chi2_new * active * (z > 0)), axis)
                 improved = total < best
                 cam = jnp.where(improved, new_cam, cam)
                 pts = jnp.where(improved, new_pts, pts)
                 lam = jnp.where(improved, lam * 0.5, lam * 5.0)
                 return (cam, pts, lam, jnp.minimum(best, total)), None
 
-            chi2_0, z0 = local_ba._chi2_of(K, cam, pts, p_local)
-            total0 = allreduce(jnp.sum(chi2_0 * active * (z0 > 0)))
+            chi2_0, z0 = chi2_of(cam, pts)
+            total0 = jax.lax.psum(jnp.sum(chi2_0 * active * (z0 > 0)), axis)
             (cam, pts, _, _), _ = jax.lax.scan(
                 body, (cam, pts, jnp.float32(1e-4), total0), None, length=n_iters
             )
             return cam, pts
 
-        cam, pts = phase(p_local.cam_Tcw, p_local.pts_w, active0, iters1)
-        chi2, z = local_ba._chi2_of(K, cam, pts, p_local)
+        use_huber = jnp.asarray(True)
+        cam, pts = phase(cam0, pts0, active0, iters1, use_huber)
+        chi2, z = chi2_of(cam, pts)
         active1 = active0 & (chi2 <= local_ba.CHI2_MONO) & (z > 0)
-        cam, pts = phase(cam, pts, active1, iters2)
-        chi2, z = local_ba._chi2_of(K, cam, pts, p_local)
+        cam, pts = phase(cam, pts, active1, iters2, use_huber)
+        chi2, z = chi2_of(cam, pts)
         inlier = active0 & (chi2 <= local_ba.CHI2_MONO) & (z > 0)
-        return local_ba.BAResult(cam_Tcw=cam, pts_w=pts, obs_inlier=inlier, chi2=chi2)
+        return cam, pts, inlier, chi2
 
-    return run(prob)
+    cam_out, pts_out, inlier_s, chi2_s = run(
+        prob.K, prob.cam_Tcw, cam_free, pts_pad, ptsv_pad,
+        obs_cam_s, obs_pt_s, obs_uv_s, obs_w_s, obs_valid_s,
+    )
+
+    # un-permute per-observation outputs back to the original slot order
+    inlier = np.zeros(O, bool)
+    chi2 = np.zeros(O, np.float32)
+    inlier[safe[pad_ok]] = np.asarray(inlier_s).reshape(-1)[pad_ok]
+    chi2[safe[pad_ok]] = np.asarray(chi2_s).reshape(-1)[pad_ok]
+    return local_ba.BAResult(
+        cam_Tcw=cam_out,
+        pts_w=pts_out[:P_n],
+        obs_inlier=jnp.asarray(inlier),
+        chi2=jnp.asarray(chi2),
+    )

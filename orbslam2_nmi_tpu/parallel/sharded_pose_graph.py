@@ -4,11 +4,11 @@ The post-loop pose graph (solvers/pose_graph.py; reference
 Optimizer::OptimizeEssentialGraph, src/Optimizer.cc:798) has one natural
 parallel axis: the EDGES (spanning tree + loop + strong covisibility). Normal
 equations are additive over edges, so each chip assembles H/b from its edge
-shard and the blocks are psum-reduced over ICI; the dense [7V, 7V] solve is
-tiny (V = keyframes, a few hundred) and runs replicated on every chip —
-cheaper than sharding a Cholesky and keeps the updated poses already
-replicated for the next iteration (SURVEY.md §2.4 P7 pattern: block-row
-assembly + psum-reduced reduced system).
+shard and the blocks are psum-reduced over ICI; the dense [7V, 7V] solve
+(V = keyframes, a few hundred) does not parallelize usefully, so it runs on
+ONE chip and the updated poses are broadcast with a psum — same critical path
+as a replicated solve, but no duplicated FLOPs (SURVEY.md §2.4 P7 pattern:
+block-row assembly + psum-reduced reduced system).
 """
 
 from __future__ import annotations
@@ -50,18 +50,29 @@ def sharded_optimize_pose_graph(
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(), P(axis), P(axis), P(axis), P(axis)),
-        out_specs=(P(), P()),
+        in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P()),
+        out_specs=P(),
+        check_vma=False,
     )
-    def assemble(Scw, ei, ej, Sji, ev):
+    def gn_step_sharded(Scw, ei, ej, Sji, ev, free):
         H, b = pg.assemble_normal_equations(Scw, ei, ej, Sji, ev, V)
-        return jax.lax.psum(H, axis), jax.lax.psum(b, axis)
+        H = jax.lax.psum(H, axis)
+        b = jax.lax.psum(b, axis)
+        # solve on chip 0 only, broadcast the updated poses (psum of a
+        # zero-masked value = broadcast); a replicated solve would cost
+        # n_devices x the FLOPs for the same wall time
+        on_root = jax.lax.axis_index(axis) == 0
+        S_new = jax.lax.cond(
+            on_root,
+            lambda: pg.solve_and_update(Scw, H, b, free, lam),
+            lambda: jnp.zeros_like(Scw),
+        )
+        return jax.lax.psum(S_new, axis)
 
     @functools.partial(jax.jit, static_argnames=())
     def run(Scw, ei, ej, Sji, ev, free):
         def gn_step(S, _):
-            H, b = assemble(S, ei, ej, Sji, ev)
-            return pg.solve_and_update(S, H, b, free, lam), None
+            return gn_step_sharded(S, ei, ej, Sji, ev, free), None
 
         S, _ = jax.lax.scan(gn_step, Scw, None, length=iters)
         return S

@@ -27,24 +27,34 @@ import numpy as np
 SEQ_VERSION = 2  # bump when world generation changes
 
 
-def sequence_cache_path(n_frames: int, width: int, height: int, seed: int) -> str:
+def sequence_cache_path(n_frames: int, width: int, height: int, seed: int,
+                        n_total: int = None) -> str:
     d = os.environ.get("ORBSLAM2_NMI_TPU_SEQ_CACHE", "/tmp/orbslam2_nmi_tpu_seq")
     os.makedirs(d, exist_ok=True)
-    return os.path.join(d, f"seq_v{SEQ_VERSION}_{seed}_{n_frames}x{width}x{height}.npy")
+    tot = f"of{n_total}_" if n_total and n_total != n_frames else ""
+    return os.path.join(
+        d, f"seq_v{SEQ_VERSION}_{seed}_{tot}{n_frames}x{width}x{height}.npy"
+    )
 
 
 def generate_sequence(n_frames: int = 520, width: int = 960, height: int = 540,
-                      seed: int = 1, cache: bool = True):
-    """Returns (world, frames uint8 [N, H, W])."""
+                      seed: int = 1, cache: bool = True, n_total: int = None):
+    """Returns (world, frames uint8 [N, H, W]).
+
+    `n_total` renders a PREFIX of an n_total-frame circuit (same per-frame
+    motion as the full sequence) — the trajectory cadence to pass along to
+    run_replay(n_total=...).
+    """
     from orbslam2_nmi_tpu.io.synthetic import SyntheticMeshWorld
 
+    n_total = n_total or n_frames
     world = SyntheticMeshWorld.generate(seed=seed)
-    path = sequence_cache_path(n_frames, width, height, seed)
+    path = sequence_cache_path(n_frames, width, height, seed, n_total)
     if cache and os.path.exists(path):
         frames = np.load(path)
         if frames.shape == (n_frames, height, width):
             return world, frames
-    frames = world.render_frames(list(range(n_frames)), n_frames, width, height)
+    frames = world.render_frames(list(range(n_frames)), n_total, width, height)
     if cache:
         tmp = path[: -len(".npy")] + f".tmp{os.getpid()}.npy"
         np.save(tmp, frames)
@@ -199,17 +209,24 @@ def main():
 
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--frames", type=int, default=520)
+    p.add_argument("--total", type=int, default=None,
+                   help="circuit length; --frames renders a prefix of it")
     p.add_argument("--width", type=int, default=960)
     p.add_argument("--height", type=int, default=540)
     p.add_argument("--features", type=int, default=2000)
     p.add_argument("--levels", type=int, default=8)
     p.add_argument("--no-nmi", action="store_true")
     p.add_argument("--sync", action="store_true", help="synchronous mapping")
+    p.add_argument("--pipelined", action="store_true",
+                   help="fused device-resident front-end (lag-1 pipeline)")
     args = p.parse_args()
-    world, frames = generate_sequence(args.frames, args.width, args.height)
+    world, frames = generate_sequence(
+        args.frames, args.width, args.height, n_total=args.total
+    )
     out = run_replay(
         world, frames, use_nmi=not args.no_nmi, async_mapping=not args.sync,
         n_features=args.features, n_levels=args.levels,
+        n_total=args.total or args.frames, pipelined=args.pipelined,
     )
     import json
 
