@@ -93,6 +93,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from orbslam2_nmi_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from orbslam2_nmi_tpu.ops import histogram_nmi, homography, raster, render
 
     H, W = 540, 960
@@ -153,6 +157,35 @@ def main():
     dt = t_render + t_warp + t_nmi
     evals_per_s = n_pairs / dt
     baseline_evals_per_s = 1458.0  # see module docstring
+
+    # ---- full-pipeline replay (end-to-end fps + ATE on a real chip):
+    # 160-frame prefix of the 520-frame synthetic-mesh circuit, full SLAM
+    # stack incl. local mapping, place recognition and NMI relocalization.
+    # Sequence imagery + compiled executables are content-keyed on-disk
+    # caches; cold generation costs ~10 min once per machine.
+    replay = {}
+    try:
+        from orbslam2_nmi_tpu.tools import replay_bench
+
+        n_frames, n_total = 160, 520
+        world, frames = replay_bench.generate_sequence(
+            n_frames, W, H, n_total=n_total
+        )
+        out = replay_bench.run_replay(
+            world, frames, use_nmi=True, async_mapping=True, n_total=n_total
+        )
+        replay = {
+            "frames_per_s_full_pipeline": round(out["fps_steady"], 2),
+            "frames_per_s_p50": round(out["fps_median"], 2),
+            "vs_30fps_target": round(out["fps_steady"] / 30.0, 3),
+            "ate_rmse_m_unaligned": round(out["ate_rmse"], 4),
+            "n_frames": out["n_frames"],
+            "n_tracked": out["n_tracked"],
+            "n_keyframes": out["n_keyframes"],
+        }
+    except Exception as e:  # keep the headline metric flowing regardless
+        replay = {"error": f"{type(e).__name__}: {e}"}
+
     print(
         json.dumps(
             {
@@ -165,6 +198,7 @@ def main():
                     f"mode-4 pointcloud splat would be {t_splat*1e3:.0f}ms)"
                 ),
                 "vs_baseline": round(evals_per_s / baseline_evals_per_s, 2),
+                "full_pipeline_replay": replay,
             }
         )
     )

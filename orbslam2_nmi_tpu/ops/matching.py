@@ -125,3 +125,32 @@ def window_mask(
         dl = octave_b[None, :] - octave_a[:, None]
         m = m & (dl >= -level_window) & (dl <= level_window)
     return m
+
+
+@jax.jit
+def match_epipolar(
+    desc1: jnp.ndarray,
+    free1: jnp.ndarray,
+    desc2: jnp.ndarray,
+    free2: jnp.ndarray,
+    xy1: jnp.ndarray,
+    xy2: jnp.ndarray,
+    F12: jnp.ndarray,
+    sigma2_2: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """SearchForTriangulation's epipolar-constrained match (ORBmatcher.cc:690)
+    in ONE dispatch: the [F1, F2] epipolar-distance mask is built on device
+    (x1^T F12 x2 = 0 => line of x1 in image 2 is F12^T x1; gate at
+    3.84 sigma^2 like the reference) and fed straight into the Hamming
+    matcher — no host-side mask or its [F1, F2] upload."""
+    ones1 = jnp.concatenate([xy1, jnp.ones((xy1.shape[0], 1), xy1.dtype)], axis=1)
+    lines2 = ones1 @ F12  # [F1, 3]
+    a, b, c = lines2[:, 0:1], lines2[:, 1:2], lines2[:, 2:3]
+    d = jnp.abs(a * xy2[:, 0][None, :] + b * xy2[:, 1][None, :] + c) / jnp.sqrt(
+        jnp.maximum(a * a + b * b, 1e-12)
+    )
+    epi_ok = d < 3.84 * jnp.sqrt(sigma2_2)[None, :]
+    return match_descriptors(
+        desc1, free1, desc2, free2, spatial_mask=epi_ok,
+        max_dist=TH_LOW, apply_ratio=False,
+    )

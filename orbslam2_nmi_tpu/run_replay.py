@@ -20,6 +20,9 @@ import numpy as np
 
 
 def main(argv=None):
+    from orbslam2_nmi_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     ap = argparse.ArgumentParser(description="orbslam2_nmi_tpu monocular replay")
     ap.add_argument("--settings", help="reference-format settings YAML")
     ap.add_argument("--sequence", help="image sequence dir (ZU-MAV/NewerCollege layout)")

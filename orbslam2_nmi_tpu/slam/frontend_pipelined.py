@@ -80,7 +80,7 @@ class PipelinedFrontend:
                         # tracking a frame against a pre-keyframe carry and
                         # then promoting it to a keyframe is how stale poses
                         # get baked into the map.
-                        first_bad = results.index(None)
+                        first_bad = results.index(None) if None in results else n
                         inflight.clear()
                         if status == "fail":
                             self._carry = None
@@ -91,7 +91,9 @@ class PipelinedFrontend:
             if inflight:
                 status = self._process(inflight.popleft(), frames, timestamps, results)
                 if status is not True:
-                    first_bad = results.index(None)
+                    # every frame may already be processed when the LAST
+                    # drained frame reseeds — nothing left to re-dispatch
+                    first_bad = results.index(None) if None in results else n
                     inflight.clear()
                     if status == "fail":
                         self._carry = None

@@ -67,8 +67,13 @@ class LocalMapper:
                 return
             self._refresh_point_stats(k)
             self._cull_recent_points(k)
-            self._create_new_map_points(k)
-            self._fuse_neighbors(k)
+            self._create_new_map_points(k, abort_fn=abort_fn)
+            # the reference skips SearchInNeighbors entirely when a newer KF
+            # is already queued (LocalMapping::Run, LocalMapping.cc:84-88
+            # `if(!CheckNewKeyFrames()) SearchInNeighbors()`): keeping mapper
+            # latency low matters more than an immediately-deduped map
+            if not (abort_fn and abort_fn()):
+                self._fuse_neighbors(k)
         if self.map.n_keyframes > 2 and not (abort_fn and abort_fn()):
             self.local_bundle_adjust(k, epoch=epoch)
         with self.map.lock:
@@ -133,12 +138,16 @@ class LocalMapper:
 
     # ------------------------------------------------------- new map points
 
-    def _create_new_map_points(self, k: int):
-        """CreateNewMapPoints (LocalMapping.cc:210)."""
+    def _create_new_map_points(self, k: int, abort_fn=None):
+        """CreateNewMapPoints (LocalMapping.cc:210). Aborts between neighbor
+        pairs when a newer keyframe is queued (the reference's
+        CheckNewKeyFrames() poll inside the neighbor loop, LocalMapping.cc:224)."""
         neighbors = self.map.best_covisible(k, 20)
         ck = self._center(k)
         created = 0
         for kn in neighbors:
+            if abort_fn and abort_fn():
+                break
             kn = int(kn)
             baseline = float(np.linalg.norm(self._center(kn) - ck))
             med_depth = self._median_depth(kn)
@@ -154,28 +163,21 @@ class LocalMapper:
         free2 = m.kf_feat_valid[k2] & (m.kf_mp_idx[k2] < 0)
         if free1.sum() < 5 or free2.sum() < 5:
             return 0
-        # epipolar-constrained candidate mask (SearchForTriangulation):
+        # epipolar-constrained match (SearchForTriangulation) — mask built on
+        # device inside one fused dispatch (matching.match_epipolar)
         F12 = self._fundamental(k1, k2)
         xy1 = m.kf_feat_xy[k1]
         xy2 = m.kf_feat_xy[k2]
-        ones1 = np.concatenate([xy1, np.ones((len(xy1), 1), np.float32)], axis=1)
-        # x1^T F12 x2 = 0 => epipolar line of x1 in image 2 is l2 = F12^T x1
-        lines2 = ones1 @ F12  # [F1, 3]
-        a, b, c = lines2[:, 0:1], lines2[:, 1:2], lines2[:, 2:3]
-        d = np.abs(a * xy2[:, 0][None, :] + b * xy2[:, 1][None, :] + c) / np.sqrt(
-            np.maximum(a * a + b * b, 1e-12)
-        )  # [F1, F2]
         sigma2 = (1.0 / self.inv_sigma2)[m.kf_feat_octave[k2]]
-        epi_ok = d < 3.84 * np.sqrt(sigma2)[None, :]
-
-        idx, _ = matching.match_descriptors(
+        idx, _ = matching.match_epipolar(
             jnp.asarray(m.kf_feat_desc[k1]),
             jnp.asarray(free1),
             jnp.asarray(m.kf_feat_desc[k2]),
             jnp.asarray(free2),
-            spatial_mask=jnp.asarray(epi_ok),
-            max_dist=matching.TH_LOW,
-            apply_ratio=False,
+            jnp.asarray(xy1),
+            jnp.asarray(xy2),
+            jnp.asarray(F12.astype(np.float32)),
+            jnp.asarray(sigma2.astype(np.float32)),
         )
         idx = np.asarray(idx)
         f1s = np.nonzero(idx >= 0)[0]

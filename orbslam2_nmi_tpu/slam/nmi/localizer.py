@@ -311,10 +311,14 @@ class NMILocalizer:
         if kernel.nmi < last_nmi:
             Tcw = Tcw_save_last
 
-        # adaptive acceptance (Tracking.cc:2140-2168)
+        # adaptive acceptance (Tracking.cc:2140-2168). Fail safe on any
+        # non-finite input: a NaN distance would make every comparison False
+        # and silently accept an arbitrarily bad latch.
         distance = float(np.linalg.norm(dist_since))
+        if not np.isfinite(distance):
+            distance = 0.0  # strictest threshold
         threshold = sk.adaptive_threshold(cfg.threshold, distance)
-        if kernel.nmi < threshold:
+        if not np.isfinite(kernel.nmi) or kernel.nmi < threshold:
             return NMIOutcome(
                 Tcw=Tcw_save,
                 nmi=kernel.nmi,

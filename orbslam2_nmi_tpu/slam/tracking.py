@@ -92,6 +92,9 @@ class Tracker:
         self.kfs_since_last_nmi: int = 0
         self.dist_since_nmi = np.zeros(3)
         self.rot_since_nmi = np.zeros(3)
+        self.n_resets: int = 0
+        # last OK-tracked pose; survives reset() — seeds NMI re-initialization
+        self._last_good_Tcw: Optional[np.ndarray] = None
         # relative-pose rows (frame_id, t, Tcr, ref_kf, lost, previous_poses)
         # — mlRelativeFramePoses et al. (Tracking.cc:667-691); absolute poses
         # are recomposed at save time (io.trajectory.recompose_trajectory)
@@ -151,6 +154,13 @@ class Tracker:
             frame.Tcw is not None
             and self.last_frame is not None
             and self.last_frame.Tcw is not None
+            # only OK-tracked poses feed the accumulators (the reference
+            # updates them inside the tracking-OK branch, Tracking.cc:648-662;
+            # a diverged/LOST frame's pose here would poison the NMI kernel
+            # sizing and — via a NaN distance — the adaptive accept threshold)
+            and self.state == TrackingState.OK
+            and np.isfinite(frame.Tcw).all()
+            and np.isfinite(self.last_frame.Tcw).all()
         ):
             dT = np.abs(frame.Tcw[:3, 3] - self.last_frame.Tcw[:3, 3])
             self.dist_since_nmi += dT
@@ -158,6 +168,7 @@ class Tracker:
                 euler_zyx_angles(frame.Tcw[:3, :3]) - euler_zyx_angles(self.last_frame.Tcw[:3, :3])
             )
             self.rot_since_nmi += dR
+            self._last_good_Tcw = frame.Tcw.copy()
 
         # store pose RELATIVE to the reference keyframe (Tracking.cc:667-691):
         # Tcr = Tcw * Twr, snapped to identity when the frame IS the keyframe
@@ -207,27 +218,58 @@ class Tracker:
     def _initialize(self, frame: FrameData) -> TrackResult:
         """InitializeWithNMI (Tracking.cc:2181-2372): pose frame 0 and frame
         `offset` from NMI (or supplied poses), match, triangulate, global BA
-        with both KFs NMI-fixed => metric georeferenced scale."""
+        with both KFs NMI-fixed => metric georeferenced scale.
+
+        Re-initialization after a System::Reset: the reference cannot recover
+        mid-sequence (its init runs only at the hand-configured frame ids;
+        the pt2/pt3/pt4 YAMLs restart the process with fresh init poses,
+        ETH_small_pt2.yaml:62-75). Here the automated equivalent: seed the
+        init hypotheses from the last well-tracked pose and REQUIRE the NMI
+        latch to clear the accept threshold — a failed latch retries on later
+        frames instead of anchoring a garbage map."""
         cfg = self.cfg.nmi
+        # without an NMI localizer there is nothing to latch against — fall
+        # back to classic two-view re-initialization (model-free operation)
+        reinit = self.n_resets > 0 and self.nmi is not None
         if frame.frame_id == 0 or self.init_frame is None:
-            if self._init_T1 is None:
+            if self._init_T1 is None or (self.n_resets > 0 and self.nmi is None):
                 # classic monocular init path: just remember the first frame
                 frame.Tcw = np.eye(4, dtype=np.float32)
                 self.init_frame = frame
                 return TrackResult(self.state, frame.Tcw, 0, False)
-            frame.Tcw = self._init_T1.copy()
-            self._run_nmi(frame, initializing=True)
+            if reinit:
+                if self._last_good_Tcw is None:
+                    return TrackResult(self.state, None, 0, False)
+                frame.Tcw = self._last_good_Tcw.copy()
+                if not self._run_nmi(frame, initializing=True):
+                    self.log(
+                        f"frame {frame.frame_id}: re-init NMI latch failed, retrying"
+                    )
+                    return TrackResult(self.state, None, 0, False)
+            else:
+                frame.Tcw = self._init_T1.copy()
+                self._run_nmi(frame, initializing=True)
             self.init_frame = frame
             return TrackResult(self.state, frame.Tcw, 0, False)
 
-        if self._init_T1 is None:
+        if self._init_T1 is None or (self.n_resets > 0 and self.nmi is None):
             return self._initialize_classic(frame)
 
         if frame.frame_id < self.init_frame.frame_id + cfg.offset:
             return TrackResult(self.state, None, 0, False)
 
-        frame.Tcw = (self._init_T2 if self._init_T2 is not None else self._init_T1).copy()
-        self._run_nmi(frame, initializing=True)
+        if reinit:
+            # second latch seeded from the first's NMI-refined pose
+            frame.Tcw = self.init_frame.Tcw.copy()
+            if not self._run_nmi(frame, initializing=True):
+                self.log(
+                    f"frame {frame.frame_id}: re-init second NMI latch failed, retrying"
+                )
+                self.init_frame = None
+                return TrackResult(self.state, None, 0, False)
+        else:
+            frame.Tcw = (self._init_T2 if self._init_T2 is not None else self._init_T1).copy()
+            self._run_nmi(frame, initializing=True)
 
         f1, f2 = self.init_frame, frame
         idx, dist = matching.match_descriptors(
@@ -916,6 +958,7 @@ class Tracker:
         """System::Reset semantics (Tracking.cc:1759-1808): wipe the map and
         reinitialize from scratch."""
         self.map.clear()
+        self.n_resets += 1
         self.state = TrackingState.NOT_INITIALIZED
         self.velocity = None
         self.init_frame = None

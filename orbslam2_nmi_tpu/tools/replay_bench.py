@@ -207,6 +207,9 @@ def run_replay(world, frames, use_nmi: bool = True, async_mapping: bool = True,
 def main():
     import argparse
 
+    from orbslam2_nmi_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--frames", type=int, default=520)
     p.add_argument("--total", type=int, default=None,
