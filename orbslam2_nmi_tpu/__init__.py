@@ -12,6 +12,17 @@ step-interleaved scheduler instead of the reference's 4 POSIX threads
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# Geometry-safe default: TPU matmuls/convs default to bf16, which is fine for
+# ML but poisons pose chains, fundamental matrices and GN normal equations
+# (measured: the fused tracking chain drifted to NMI!=0.3 within 12 frames at
+# 960x540 purely from bf16 pose composition). HIGHEST costs nothing on the
+# tiny geometry products; the perf-critical image kernels opt back into fast
+# precision explicitly (ops/pyramid.py convs; ops/raster.py and
+# ops/histogram_nmi.py already pin their own operand dtypes).
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from orbslam2_nmi_tpu.config import (  # noqa: F401
     CameraConfig,
     NMIConfig,

@@ -77,12 +77,16 @@ def gaussian_blur(img: jnp.ndarray, ksize: int = 7, sigma: float = 2.0) -> jnp.n
     # reflect-101 padding: edge pixel not duplicated
     p = jnp.pad(img, ((r, r), (r, r)), mode="reflect")
     # horizontal then vertical via conv on the 2 spatial dims
+    # fast precision opt-in: image blur tolerates bf16 accumulation and the
+    # package default is HIGHEST (see orbslam2_nmi_tpu/__init__.py)
+    fast = jax.lax.Precision.DEFAULT
     out = jax.lax.conv_general_dilated(
         p[None, None, :, :],
         k[None, None, None, :],
         window_strides=(1, 1),
         padding="VALID",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=fast,
     )
     out = jax.lax.conv_general_dilated(
         out,
@@ -90,5 +94,6 @@ def gaussian_blur(img: jnp.ndarray, ksize: int = 7, sigma: float = 2.0) -> jnp.n
         window_strides=(1, 1),
         padding="VALID",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=fast,
     )
     return out[0, 0]

@@ -42,6 +42,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from orbslam2_nmi_tpu.config import SystemConfig
+from orbslam2_nmi_tpu.geometry import se3
 from orbslam2_nmi_tpu.ops import matching
 from orbslam2_nmi_tpu.ops.orb import extract_orb
 from orbslam2_nmi_tpu.slam.frame import FrameData
@@ -92,7 +93,10 @@ def make_fused_step(cfg: SystemConfig, n_cand: int = 2048):
     t = cfg.tracking
 
     def project(Tcw, pts):
-        pc = pts @ Tcw[:3, :3].T + Tcw[:3, 3]
+        # HIGHEST precision: on TPU a default-precision matmul runs bf16 —
+        # fine for ML, fatal for a pose chain (the classic front-end does
+        # these products in host numpy; the fused chain must match)
+        pc = jnp.matmul(pts, Tcw[:3, :3].T, precision=jax.lax.Precision.HIGHEST) + Tcw[:3, 3]
         z = jnp.where(jnp.abs(pc[:, 2]) > 1e-9, pc[:, 2], 1e-9)
         return jnp.stack([fx * pc[:, 0] / z + cx, fy * pc[:, 1] / z + cy], -1), pc[:, 2]
 
@@ -105,7 +109,7 @@ def make_fused_step(cfg: SystemConfig, n_cand: int = 2048):
 
         # ---- motion model: project last frame's landmarks at the predicted
         # pose, windowed search th=15 (Tracking.cc:1083, :1124)
-        Tp = carry.velocity @ carry.Tcw
+        Tp = se3.se3_compose(carry.velocity, carry.Tcw)
         proj, _ = project(Tp, carry.pts)
         radius = 15.0 * sf ** carry.octave.astype(jnp.float32)
         sm = matching.window_mask(
@@ -132,7 +136,9 @@ def make_fused_step(cfg: SystemConfig, n_cand: int = 2048):
         # provided candidates at the refined pose, frustum + distance +
         # viewing-angle gates (Frame::isInFrustum), scale-predicted radius
         cproj, cz = project(r1.Tcw, cand_pts)
-        cam_c = -r1.Tcw[:3, :3].T @ r1.Tcw[:3, 3]
+        cam_c = -jnp.matmul(
+            r1.Tcw[:3, :3].T, r1.Tcw[:3, 3], precision=jax.lax.Precision.HIGHEST
+        )
         dvec = cand_pts - cam_c
         dist = jnp.linalg.norm(dvec, axis=-1)
         cosv = jnp.sum(dvec / jnp.maximum(dist[:, None], 1e-9) * cand_normal, -1)

@@ -89,6 +89,8 @@ class NMILocalizer:
         assert model is not None or mesh is not None
         self.cfg = cfg
         self.camera = camera
+        # >1 widens the next search's steps (re-init latch widening)
+        self.search_scale = 1.0
         self.model = model
         self.mesh = mesh
         if (mesh is not None and model is None and not force_mesh_raster
@@ -276,6 +278,15 @@ class NMILocalizer:
             kernel = sk.initial_kernel_for_init(self.initial_kernel)
         else:
             kernel = dataclasses.replace(self.initial_kernel)
+        # re-initialization widening (tracking sets search_scale > 1 after
+        # failed re-latches; pure extension over the reference)
+        scale = getattr(self, "search_scale", 1.0)
+        if scale != 1.0:
+            kernel = dataclasses.replace(
+                kernel,
+                step_synth=tuple(s * scale for s in kernel.step_synth),
+                step_warp=tuple(s * scale for s in kernel.step_warp),
+            )
 
         Tcw_save = Tcw.copy()
         Tcw_save_last = Tcw.copy()
@@ -293,6 +304,8 @@ class NMILocalizer:
                 f"NMI iter {i}: nmi={kernel.nmi:.5f} best_s={kernel.best_synth} "
                 f"best_w={kernel.best_warp} steps={kernel.step_synth}/{kernel.step_warp}"
             )
+            if initializing and i == 1 and kernel.nmi < 0.5 * cfg.threshold:
+                break  # hopeless latch — refinement can't recover a 2x miss
             if i > 1 and kernel.is_middle():
                 break
             if i > 1:

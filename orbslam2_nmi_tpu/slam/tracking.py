@@ -95,6 +95,7 @@ class Tracker:
         self.n_resets: int = 0
         # last OK-tracked pose; survives reset() — seeds NMI re-initialization
         self._last_good_Tcw: Optional[np.ndarray] = None
+        self._reinit_fails: int = 0
         # relative-pose rows (frame_id, t, Tcr, ref_kf, lost, previous_poses)
         # — mlRelativeFramePoses et al. (Tracking.cc:667-691); absolute poses
         # are recomposed at save time (io.trajectory.recompose_trajectory)
@@ -241,11 +242,20 @@ class Tracker:
                 if self._last_good_Tcw is None:
                     return TrackResult(self.state, None, 0, False)
                 frame.Tcw = self._last_good_Tcw.copy()
-                if not self._run_nmi(frame, initializing=True):
+                # the camera keeps moving while we are down: widen the search
+                # span with every failed latch so the true pose re-enters the
+                # grid (pure extension — the reference has no re-init at all)
+                self.nmi.search_scale = 1.0 + 0.5 * min(self._reinit_fails, 8)
+                ok = self._run_nmi(frame, initializing=True)
+                self.nmi.search_scale = 1.0
+                if not ok:
+                    self._reinit_fails += 1
                     self.log(
-                        f"frame {frame.frame_id}: re-init NMI latch failed, retrying"
+                        f"frame {frame.frame_id}: re-init NMI latch failed "
+                        f"({self._reinit_fails}), retrying wider"
                     )
                     return TrackResult(self.state, None, 0, False)
+                self._reinit_fails = 0
             else:
                 frame.Tcw = self._init_T1.copy()
                 self._run_nmi(frame, initializing=True)

@@ -54,7 +54,8 @@ def _reproj_residuals_jac(Tcw, pts_w, uv, fx, fy, cx, cy):
     n = pc.shape[0]
     eye = jnp.broadcast_to(jnp.eye(3, dtype=pc.dtype), (n, 3, 3))
     dpc = jnp.concatenate([eye, -se3.hat(pc)], axis=-1)  # [N, 3, 6]
-    J = jnp.einsum("nij,njk->nik", dproj, dpc)  # [N, 2, 6] = d(proj)/dxi
+    J = jnp.einsum("nij,njk->nik", dproj, dpc,
+                   precision=jax.lax.Precision.HIGHEST)  # [N, 2, 6] = d(proj)/dxi
     return e, J, z
 
 
@@ -95,8 +96,9 @@ def pose_optimization_k(
             )
             w = w_info * rho_w * use_mask * (z > 0)
             # normal equations: H = J^T W J (note J maps dxi -> dproj; dr = -J dxi)
-            H = jnp.einsum("nik,n,nil->kl", J, w, J)
-            g = jnp.einsum("nik,n,ni->k", J, w, r)
+            # HIGHEST: bf16 normal equations bias the GN step on TPU
+            H = jnp.einsum("nik,n,nil->kl", J, w, J, precision=jax.lax.Precision.HIGHEST)
+            g = jnp.einsum("nik,n,ni->k", J, w, r, precision=jax.lax.Precision.HIGHEST)
             # solve (H + lam diag(H)) dxi = g ; update T <- exp(-dxi)... sign:
             # r = obs - proj, dr/dxi = -J => GN step solves J^T W J dxi = J^T W r
             H_lm = H + lam * jnp.diag(jnp.diag(H)) + 1e-8 * jnp.eye(6)
