@@ -137,6 +137,9 @@ def _joint_entropy_kernel(n_chunks: int, n_r: int, n_valid: int, n_bins: int):
                 b_ohT,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
+                # explicit: the package-global HIGHEST default would request
+                # an fp32 contraction of int8 operands (Mosaic rejects it)
+                precision=jax.lax.Precision.DEFAULT,
             )
         acc_ref[r] = acc
 
@@ -225,6 +228,7 @@ def _marginal_entropy_kernel(n_chunks: int, n_valid: int, n_bins: int):
             tot = jax.lax.dot_general(
                 acc_ref[:], ones, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
             )  # [n_bins, 128]
             p = tot * inv_n
             plogp = jnp.where(p > 0, p * (jnp.log(jnp.where(p > 0, p, 1.0)) * 1.4426950408889634), 0.0)

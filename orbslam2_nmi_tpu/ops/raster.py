@@ -482,6 +482,9 @@ def _sample_kernel(th: int, tw: int, background: float):
                 texT, w_row.astype(jnp.bfloat16),
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                # explicit: the package-global HIGHEST default would request
+                # an fp32 contraction of bf16 operands, which Mosaic rejects
+                precision=jax.lax.Precision.DEFAULT,
             )  # [Tw_pad, 128] — y-interpolated texture columns per pixel
             x0r = x0[r : r + 1, :]
             axr = ax[r : r + 1, :]
