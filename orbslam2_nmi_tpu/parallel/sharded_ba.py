@@ -208,7 +208,10 @@ def sharded_bundle_adjust(
                     cam, pts, active.astype(jnp.float32), lam, use_huber
                 )
                 chi2_new, z = chi2_of(new_cam, new_pts)
-                total = jax.lax.psum(jnp.sum(chi2_new * active * (z > 0)), axis)
+                # Huber-robustified + degeneracy-penalized accept total (see
+                # local_ba._robust_total): raw totals let gross outliers or
+                # behind-camera/NaN states masquerade as improvements
+                total = jax.lax.psum(local_ba._robust_total(chi2_new, active, z), axis)
                 improved = total < best
                 cam = jnp.where(improved, new_cam, cam)
                 pts = jnp.where(improved, new_pts, pts)
@@ -216,7 +219,7 @@ def sharded_bundle_adjust(
                 return (cam, pts, lam, jnp.minimum(best, total)), None
 
             chi2_0, z0 = chi2_of(cam, pts)
-            total0 = jax.lax.psum(jnp.sum(chi2_0 * active * (z0 > 0)), axis)
+            total0 = jax.lax.psum(local_ba._robust_total(chi2_0, active, z0), axis)
             (cam, pts, _, _), _ = jax.lax.scan(
                 body, (cam, pts, jnp.float32(1e-4), total0), None, length=n_iters
             )

@@ -255,6 +255,11 @@ class PipelinedFrontend:
                 self._carry_src = self._start + idx
                 self._reseed = False
 
+        if (self._start + idx) % 10 == 0:
+            self.sys.log(
+                f"frame {self._start + idx}: fused n1={u.n_matches1} "
+                f"inl={u.n_inliers} cand={int(len(cand_ids))}"
+            )
         results[idx] = TrackResult(
             TrackingState.OK, frame.Tcw, u.n_inliers, is_kf, nmi_reloc
         )

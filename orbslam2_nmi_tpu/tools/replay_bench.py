@@ -24,7 +24,10 @@ import time
 
 import numpy as np
 
-SEQ_VERSION = 2  # bump when world generation changes
+# bump when world generation OR the renderer's numerics change — the NMI
+# oracle scores live renders against this imagery, so both must come from
+# the same raster convention (v3: fp32 edge/plane evaluation)
+SEQ_VERSION = 3
 
 
 def sequence_cache_path(n_frames: int, width: int, height: int, seed: int,
