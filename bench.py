@@ -172,7 +172,8 @@ def main():
             n_frames, W, H, n_total=n_total
         )
         out = replay_bench.run_replay(
-            world, frames, use_nmi=True, async_mapping=True, n_total=n_total
+            world, frames, use_nmi=True, async_mapping=True, n_total=n_total,
+            pipelined=True,  # fused device-resident front-end (the TPU path)
         )
         replay = {
             "frames_per_s_full_pipeline": round(out["fps_steady"], 2),
@@ -195,7 +196,10 @@ def main():
                     "pose-pair NMI evaluations/s at 960x540, textured-mesh render "
                     f"(mesh render {t_render*1e3:.0f}ms + warp {t_warp*1e3:.0f}ms + "
                     f"score {t_nmi*1e3:.0f}ms per 729-pair sweep; "
-                    f"mode-4 pointcloud splat would be {t_splat*1e3:.0f}ms)"
+                    f"mode-4 pointcloud splat would be {t_splat*1e3:.0f}ms; "
+                    "render is fp32-exact since r3 — the earlier bf16 edge "
+                    "evaluation was ~2x faster but quantized edges by ~0.5px, "
+                    "capping the NMI anchor accuracy the whole fork exists for)"
                 ),
                 "vs_baseline": round(evals_per_s / baseline_evals_per_s, 2),
                 "full_pipeline_replay": replay,

@@ -247,17 +247,14 @@ def _raster_kernel(capacity: int, fx: float, fy: float, cx: float, cy: float,
 
         m = [pose_ref[s, i] for i in range(12)]  # R row-major (9) then t (3)
 
-        # pixel matrix [PIX, 8]: columns (x_local, y_local, 1, 0, ...)
-        pidx = jax.lax.broadcasted_iota(jnp.int32, (_PIX, 8), 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, (_PIX, 8), 1)
-        xl = (pidx % TILE_W).astype(jnp.float32)
-        yl = (pidx // TILE_W).astype(jnp.float32)
-        pix = jnp.where(col == 0, xl, jnp.where(col == 1, yl, jnp.where(col == 2, 1.0, 0.0)))
-
-        row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-        r0 = (row == 0).astype(jnp.float32)
-        r1 = (row == 1).astype(jnp.float32)
-        r2 = (row == 2).astype(jnp.float32)
+        # per-pixel tile-local coordinates [PIX, 1] — plane evaluation is
+        # exact f32 broadcast arithmetic on the VPU (an [PIX,8]x[8,128] MXU
+        # matmul formulation was used before the package went
+        # HIGHEST-precision: fp32 MXU contraction is multi-pass and tripled
+        # the render time, while bf16 quantized edge positions by ~0.5 px)
+        pidx1 = jax.lax.broadcasted_iota(jnp.int32, (_PIX, 1), 0)
+        xlc = (pidx1 % TILE_W).astype(jnp.float32)
+        ylc = (pidx1 // TILE_W).astype(jnp.float32)
 
         def chunk_planes(c):
             """Per-chunk plane evaluation: returns (key, UVZ planes) for the
@@ -294,11 +291,8 @@ def _raster_kernel(capacity: int, fx: float, fy: float, cx: float, cy: float,
             zi2 = 1.0 / jnp.maximum(z2, 1e-6)
 
             def plane(A, B, C):
-                coeff = r0 * A + r1 * B + r2 * C  # [1,128] broadcast into rows
-                return jax.lax.dot_general(
-                    pix, coeff, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # [PIX, 128]
+                # A, B, C are [1, 128] per-triangle coefficients
+                return xlc * A + ylc * B + C  # [PIX, 128]
 
             E0 = plane(A0 * sgn, B0 * sgn, C0 * sgn)
             E1 = plane(A1 * sgn, B1 * sgn, C1 * sgn)
@@ -334,7 +328,10 @@ def _raster_kernel(capacity: int, fx: float, fy: float, cx: float, cy: float,
 
         # elementwise min across chunks ([PIX, 128] accumulators), ONE
         # cross-lane reduction at the end — per-chunk lane reductions are the
-        # slow shape on the VPU
+        # slow shape on the VPU. (A pl.when-guarded per-tile chunk skip was
+        # tried here: on dense meshes every tile is full, and routing the
+        # accumulators through VMEM refs cost ~30% — functional accumulation
+        # in registers wins.)
         acc_u = jnp.full((_PIX, 128), SENTINEL, jnp.int32)
         acc_v = jnp.full((_PIX, 128), SENTINEL, jnp.int32)
         for c in range(n_chunks):

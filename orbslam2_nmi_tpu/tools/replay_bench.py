@@ -117,7 +117,8 @@ def build_system(world, width: int, height: int, n_features: int = 2000,
 
 def run_replay(world, frames, use_nmi: bool = True, async_mapping: bool = True,
                n_features: int = 2000, n_levels: int = 8, warmup: int = 24,
-               output_dir=None, n_total: int = None, pipelined: bool = False) -> dict:
+               output_dir=None, n_total: int = None, pipelined: bool = False,
+               pipeline_lag: int = 1) -> dict:
     """Track every frame through the full pipeline; return fps + ATE metrics.
 
     `warmup` frames are excluded from the fps numbers (XLA compiles on first
@@ -150,7 +151,7 @@ def run_replay(world, frames, use_nmi: bool = True, async_mapping: bool = True,
         # chunk as a whole — per-frame walls interleave across the pipeline
         from orbslam2_nmi_tpu.slam.frontend_pipelined import PipelinedFrontend
 
-        fe = PipelinedFrontend(sys_)
+        fe = PipelinedFrontend(sys_, lag=pipeline_lag)
         t0 = time.perf_counter()
         res_a = fe.run(frames[:warmup], ts[:warmup], start_id=0)
         t_warm = time.perf_counter() - t0
