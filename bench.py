@@ -183,6 +183,8 @@ def main():
             "n_frames": out["n_frames"],
             "n_tracked": out["n_tracked"],
             "n_keyframes": out["n_keyframes"],
+            "n_map_points": out.get("n_map_points"),
+            "n_loop_closures": out.get("n_loop_closures"),
         }
     except Exception as e:  # keep the headline metric flowing regardless
         replay = {"error": f"{type(e).__name__}: {e}"}

@@ -21,7 +21,11 @@ import jax as _jax
 # tiny geometry products; the perf-critical image kernels opt back into fast
 # precision explicitly (ops/pyramid.py convs; ops/raster.py and
 # ops/histogram_nmi.py already pin their own operand dtypes).
-_jax.config.update("jax_default_matmul_precision", "highest")
+# Only applied when the embedding application has not chosen a precision of
+# its own — mutating process-global JAX config from a library import would
+# otherwise silently change unrelated code's numerics.
+if _jax.config.jax_default_matmul_precision is None:
+    _jax.config.update("jax_default_matmul_precision", "highest")
 
 from orbslam2_nmi_tpu.config import (  # noqa: F401
     CameraConfig,

@@ -19,6 +19,16 @@ atomics, ComputeEntropyKernel :230-267, pairwise-sum reductions :270-363, one
 Score metrics (reference kernel.cuh:22-23, NMI.cu:344-359):
     SUC  = 2 * (1 - Hab / (Ha + Hb))     <- enabled in the reference
     ENMI = (Ha + Hb) / Hab
+
+Background masking (`nmi_prop_BG=false`, reference NMI.cu:85 + allProperties
+.hpp:38): pixel pairs where EITHER image is 0 are excluded from the joint AND
+both marginal histograms, while probabilities stay normalized by the FULL
+pixel count width*height (kernel.cu:85 passes width*height as `length`
+unconditionally). Because the reference increments the marginals under the
+same both-nonzero condition, the masked marginal histograms are exactly the
+row/col sums of the masked joint histogram — so the masked path computes all
+three entropies from one joint-histogram pass per pair (masking = dropping
+row 0 and column 0 of J in the entropy epilogue; the count loop is unchanged).
 """
 
 from __future__ import annotations
@@ -69,8 +79,16 @@ def nmi_scores_reference(
     n_valid: int,
     metric: str = "SUC",
     n_bins: int = N_BINS,
+    use_background: bool = True,
 ) -> jnp.ndarray:
     """[S, R] scores, pure jnp (scatter-add histograms). Oracle for the kernel."""
+    if not use_background:
+        Hab, Ha, Hb = jax.vmap(
+            lambda a: jax.vmap(
+                lambda b: masked_entropies_reference(a, b, n_valid, n_bins)
+            )(warp_bins)
+        )(synth_bins)
+        return _combine_pairwise(Ha, Hb, Hab, metric)
     Ha = jax.vmap(lambda x: marginal_entropy(x, n_valid, n_bins))(synth_bins)
     Hb = jax.vmap(lambda x: marginal_entropy(x, n_valid, n_bins))(warp_bins)
     Hab = jax.vmap(
@@ -79,8 +97,34 @@ def nmi_scores_reference(
     return _combine(Ha, Hb, Hab, metric)
 
 
+def masked_entropies_reference(
+    a: jnp.ndarray, b: jnp.ndarray, n_valid: int, n_bins: int = N_BINS
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(Hab, Ha, Hb) of one pair with zero-pixel pairs excluded (NMI.cu:85
+    `nmi_prop_BG=false` path), normalized by the full n_valid. Oracle."""
+    idx = jnp.clip(a, 0, n_bins - 1) * n_bins + jnp.clip(b, 0, n_bins - 1)
+    w = jnp.where((a > 0) & (b > 0), 1.0, 0.0)  # exclude either-zero AND pad
+    J = jnp.zeros((n_bins * n_bins,), jnp.float32).at[idx].add(w).reshape(n_bins, n_bins)
+
+    def ent(h):
+        p = h / jnp.float32(n_valid)
+        return -jnp.sum(jnp.where(p > 0, p * jnp.log2(jnp.where(p > 0, p, 1.0)), 0.0))
+
+    return ent(J), ent(J.sum(1)), ent(J.sum(0))
+
+
 def _combine(Ha, Hb, Hab, metric):
     s = Ha[:, None] + Hb[None, :]
+    if metric == "SUC":
+        return 2.0 * (1.0 - Hab / jnp.maximum(s, 1e-12))
+    elif metric == "ENMI":
+        return s / jnp.maximum(Hab, 1e-12)
+    raise ValueError(f"unknown NMI metric {metric!r}")
+
+
+def _combine_pairwise(Ha, Hb, Hab, metric):
+    """Same score formulas, but Ha/Hb are per-PAIR [S, R] (masked path)."""
+    s = Ha + Hb
     if metric == "SUC":
         return 2.0 * (1.0 - Hab / jnp.maximum(s, 1e-12))
     elif metric == "ENMI":
@@ -104,7 +148,9 @@ _JROWS = 8
 _JSUPER = _JROWS * _JCHUNK  # pixels per joint-kernel grid step
 
 
-def _joint_entropy_kernel(n_chunks: int, n_r: int, n_valid: int, n_bins: int):
+def _joint_entropy_kernel(
+    n_chunks: int, n_r: int, n_valid: int, n_bins: int, mask_zero: bool = False
+):
     inv_n = 1.0 / float(n_valid)
 
     def kernel(synth_ref, warp_ref, out_ref, acc_ref, aoh_ref):
@@ -145,22 +191,63 @@ def _joint_entropy_kernel(n_chunks: int, n_r: int, n_valid: int, n_bins: int):
 
         @pl.when(c == n_chunks - 1)
         def _():
-            p = acc_ref[r].astype(jnp.float32) * inv_n
-            plogp = jnp.where(p > 0, p * (jnp.log(jnp.where(p > 0, p, 1.0)) * 1.4426950408889634), 0.0)
-            out_ref[0, 0] = jnp.broadcast_to(-jnp.sum(plogp), (8, 128))
+            J = acc_ref[r].astype(jnp.float32)
+            if mask_zero:
+                # nmi_prop_BG=false: drop every pair where either bin is 0 —
+                # exactly rows/cols 0 of the joint histogram (NMI.cu:85). The
+                # masked marginal histograms are then the row/col sums of the
+                # masked J, so Ha/Hb come out of this same pass.
+                ri = jax.lax.broadcasted_iota(jnp.int32, (n_bins, n_bins), 0)
+                ci = jax.lax.broadcasted_iota(jnp.int32, (n_bins, n_bins), 1)
+                J = jnp.where((ri > 0) & (ci > 0), J, 0.0)
+
+            def neg_sum_plogp(p):
+                return -jnp.sum(
+                    jnp.where(p > 0, p * (jnp.log(jnp.where(p > 0, p, 1.0)) * 1.4426950408889634), 0.0)
+                )
+
+            Hab = neg_sum_plogp(J * inv_n)
+            if mask_zero:
+                # row/col sums via matmul against ones so intermediates stay
+                # 2-D (8,128)-tileable (see _marginal_entropy_kernel)
+                ones = jnp.ones((n_bins, 128), jnp.float32)
+                rows = jax.lax.dot_general(
+                    J, ones, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT,
+                )  # [n_bins, 128], each column = row sums of J
+                cols = jax.lax.dot_general(
+                    J, ones, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT,
+                )  # [n_bins, 128], each column = col sums of J
+                Ha = neg_sum_plogp(rows * inv_n) / 128.0
+                Hb = neg_sum_plogp(cols * inv_n) / 128.0
+                rowi = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+                out_ref[0, 0] = jnp.where(
+                    rowi == 0, Hab, jnp.where(rowi == 1, Ha, Hb)
+                )
+            else:
+                out_ref[0, 0] = jnp.broadcast_to(Hab, (8, 128))
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("n_valid", "n_bins", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("n_valid", "n_bins", "interpret", "mask_zero")
+)
 def joint_entropy_grid_pallas(
     synth_bins: jnp.ndarray,  # [S, P_pad] int32, padding = -1
     warp_bins: jnp.ndarray,  # [R, P_pad] int32
     n_valid: int,
     n_bins: int = N_BINS,
     interpret: bool = False,
+    mask_zero: bool = False,
 ) -> jnp.ndarray:
     """All-pairs joint entropies [S, R] in one Pallas dispatch.
+
+    With `mask_zero` (the nmi_prop_BG=false path) the result is [3, S, R]:
+    (Hab, Ha, Hb) per pair, all computed from the zero-masked joint histogram.
 
     Layout notes for Mosaic: pixel super-chunks are presented as [8, JCHUNK]
     blocks (sublane x lane aligned); each (s, r) cell's scalar entropy is
@@ -177,7 +264,7 @@ def joint_entropy_grid_pallas(
 
     grid = (S, n_chunks, R)
     out = pl.pallas_call(
-        _joint_entropy_kernel(n_chunks, R, n_valid, n_bins),
+        _joint_entropy_kernel(n_chunks, R, n_valid, n_bins, mask_zero),
         out_shape=jax.ShapeDtypeStruct((S, R, 8, 128), jnp.float32),
         grid=grid,
         in_specs=[
@@ -198,6 +285,8 @@ def joint_entropy_grid_pallas(
             transcendentals=S * R * n_bins * n_bins,
         ),
     )(synth3, warp3)
+    if mask_zero:
+        return jnp.stack([out[:, :, 0, 0], out[:, :, 1, 0], out[:, :, 2, 0]])
     return out[:, :, 0, 0]
 
 
@@ -283,12 +372,18 @@ def nmi_scores(
     metric: str = "SUC",
     n_bins: int = N_BINS,
     use_pallas: bool | None = None,
+    use_background: bool = True,
 ) -> jnp.ndarray:
     """Score every (render, warp) pair: [S, R] float32.
 
     The reference evaluates these S*R pairs one CUDA pipeline at a time inside
     a 6-deep host loop (Tracking.cc:1879-1902); here it is one fused device
     computation regardless of grid size.
+
+    `use_background=False` is the reference's `nmi_prop_BG=false` compile
+    option (NMI.cu:85): pairs where either image is 0 are excluded from all
+    histograms (normalization stays at the full pixel count) — background
+    removal for prior-model renders that do not cover the whole frame.
     """
     S = synth.shape[0]
     R = warped.shape[0]
@@ -297,6 +392,20 @@ def nmi_scores(
     wb = quantize_to_bins(warped.reshape(R, P), n_bins)
     if use_pallas is None:
         use_pallas = jax.devices()[0].platform == "tpu"
+
+    if not use_background:
+        if use_pallas:
+            Hab, Ha, Hb = joint_entropy_grid_pallas(
+                pad_pixels(sb, _JSUPER), pad_pixels(wb, _JSUPER), P, n_bins,
+                mask_zero=True,
+            )
+        else:
+            Hab, Ha, Hb = jax.vmap(
+                lambda a: jax.vmap(
+                    lambda b: masked_entropies_reference(a, b, P, n_bins)
+                )(wb)
+            )(sb)
+        return _combine_pairwise(Ha, Hb, Hab, metric)
 
     if use_pallas:
         Ha = marginal_entropy_pallas(pad_pixels(sb), P, n_bins)

@@ -149,7 +149,7 @@ def match_epipolar(
     d = jnp.abs(a * xy2[:, 0][None, :] + b * xy2[:, 1][None, :] + c) / jnp.sqrt(
         jnp.maximum(a * a + b * b, 1e-12)
     )
-    epi_ok = d < 3.84 * jnp.sqrt(sigma2_2)[None, :]
+    epi_ok = (d * d) < 3.84 * sigma2_2[None, :]
     return match_descriptors(
         desc1, free1, desc2, free2, spatial_mask=epi_ok,
         max_dist=TH_LOW, apply_ratio=False,

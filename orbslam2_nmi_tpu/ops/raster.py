@@ -79,6 +79,11 @@ class BinnedMesh(NamedTuple):
     width: int
     capacity: int
     overflow: int  # triangles dropped by capacity clipping (0 in healthy runs)
+    # windowed texture sampling: per-tile texel window origin (row0, col0) in
+    # the padded texture + static square window side. None/0 = whole-texture
+    # sampler (tile UV spans too large for a sub-window to pay off).
+    tex_origin: jnp.ndarray | None = None  # [n_tiles, 2] int32
+    tex_win: int = 0
 
 
 def _pad_up(n: int, m: int) -> int:
@@ -211,6 +216,7 @@ def bin_mesh(
     data[:, 15, :] = (tri_ids >= 0).astype(np.float32)
 
     tex_pad, tex_hw = _downsample_texture(mesh.texture_gray, MAX_TEX_DIM)
+    tex_origin, tex_win = _tile_texture_windows(data, tex_pad.shape, tex_hw)
     # device_arrays=False keeps everything host-side (numpy) — callers that
     # bin per frame batch their own uploads instead of paying one host->device
     # round trip per array per call
@@ -229,7 +235,68 @@ def bin_mesh(
         width=width,
         capacity=capacity,
         overflow=overflow,
+        tex_origin=put(tex_origin) if tex_origin is not None else None,
+        tex_win=tex_win,
     )
+
+
+def _tile_texture_windows(data: np.ndarray, tex_pad_shape, tex_hw):
+    """Per-tile texel window origins for the windowed sampler.
+
+    A screen tile's triangles usually touch a small texture region; the
+    bilinear two-hot-matmul sampler's cost is O(window^2), so sampling from a
+    per-tile square window (side = smallest 128-multiple covering every
+    tile's texel span, +margins) instead of the whole texture cuts its MXU
+    work by (tex/window)^2. Returns (origins [n_tiles, 2] int32 as
+    (row0, col0), win) — or (None, 0) when no sub-window would help.
+    """
+    th, tw = tex_hw
+    th_pad, tw_pad = tex_pad_shape
+    valid = data[:, 15, :] > 0.5  # [n_tiles, C]
+    u = np.clip(data[:, 9:15:2, :], 0.0, 1.0)  # [n_tiles, 3, C]
+    v = np.clip(data[:, 10:16:2, :], 0.0, 1.0)
+    tu = u * (tw - 1)
+    tv = (1.0 - v) * (th - 1)  # GL v flip, same as the sampler
+    m3 = valid[:, None, :]
+    big = np.float32(1e9)
+    tu_min = np.where(m3, tu, big).min((1, 2))
+    tu_max = np.where(m3, tu, -big).max((1, 2))
+    tv_min = np.where(m3, tv, big).min((1, 2))
+    tv_max = np.where(m3, tv, -big).max((1, 2))
+    any_valid = valid.any(1)
+    span = float(
+        max(
+            np.where(any_valid, tu_max - tu_min, 0.0).max(initial=0.0),
+            np.where(any_valid, tv_max - tv_min, 0.0).max(initial=0.0),
+        )
+    )
+    # +4: bilinear x0+1 plus the ~0.25-texel UV quantization of the z-key
+    win = max(_pad_up(int(np.ceil(span)) + 4, 128), 128)
+    # the square window must fit inside BOTH texture dims and be smaller than
+    # at least one of them to pay off
+    if win > min(th_pad, tw_pad) or win >= max(th_pad, tw_pad):
+        return None, 0
+    row0 = np.clip(np.floor(tv_min) - 1, 0, max(th_pad - win, 0))
+    col0 = np.clip(np.floor(tu_min) - 1, 0, max(tw_pad - win, 0))
+    row0 = np.where(any_valid, row0, 0.0)
+    col0 = np.where(any_valid, col0, 0.0)
+    return np.stack([row0, col0], -1).astype(np.int32), win
+
+
+def _split3_bf16(c):
+    """Split an f32 coefficient row into 3 bf16 parts summing to ~c.
+
+    hi + mid + lo reproduces c to a 2^-27 relative residual; each part is
+    exactly representable, and the MXU's bf16 x bf16 products against EXACT
+    small-integer pixel coordinates (x <= 127 fits bf16's 8-bit mantissa)
+    accumulate in f32 — so the matmul plane evaluation below matches the f32
+    VPU evaluation it replaced to ~1e-3 px while running at bf16 MXU rates.
+    """
+    hi = c.astype(jnp.bfloat16)
+    r1 = c - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
 
 
 def _raster_kernel(capacity: int, fx: float, fy: float, cx: float, cy: float,
@@ -247,17 +314,23 @@ def _raster_kernel(capacity: int, fx: float, fy: float, cx: float, cy: float,
 
         m = [pose_ref[s, i] for i in range(12)]  # R row-major (9) then t (3)
 
-        # per-pixel tile-local coordinates [PIX, 1] — plane evaluation is
-        # exact f32 broadcast arithmetic on the VPU (an [PIX,8]x[8,128] MXU
-        # matmul formulation was used before the package went
-        # HIGHEST-precision: fp32 MXU contraction is multi-pass and tripled
-        # the render time, while bf16 quantized edge positions by ~0.5 px)
+        # per-pixel tile-local coordinates: EXACT small integers, assembled as
+        # the constant pixel-basis matrix P = [x y 1 | x y 1 | x y 1] in bf16.
+        # The 5 planes (E0, E1, ZI, UZ, VZ) x 128 triangles are evaluated by
+        # ONE MXU matmul P @ M per chunk, with each f32 coefficient split into
+        # 3 exact bf16 parts (_split3_bf16) — beyond-f32 accuracy at bf16 MXU
+        # throughput. (History: a plain bf16 matmul quantized edges by ~0.5 px;
+        # an fp32 MXU contraction is multi-pass and 3x slower; pure f32 VPU
+        # broadcast evaluation was exact but VPU-bound at ~2x this kernel's
+        # time. E2 is derived as |area2| - E0 - E1, saving a 6th plane.)
         pidx1 = jax.lax.broadcasted_iota(jnp.int32, (_PIX, 1), 0)
         xlc = (pidx1 % TILE_W).astype(jnp.float32)
         ylc = (pidx1 // TILE_W).astype(jnp.float32)
+        onec = jnp.ones((_PIX, 1), jnp.float32)
+        P = jnp.concatenate([xlc, ylc, onec] * 3, axis=1).astype(jnp.bfloat16)  # [PIX, 9]
 
         def chunk_planes(c):
-            """Per-chunk plane evaluation: returns (key, UVZ planes) for the
+            """Per-chunk plane evaluation: returns (key_u, key_v) for the
             128 triangles of chunk c at every pixel of the tile."""
             td = tri_ref[0, :, c * 128 : (c + 1) * 128]  # [16, 128]
             valid = td[15:16, :] > 0.5  # [1, 128]
@@ -280,7 +353,6 @@ def _raster_kernel(capacity: int, fx: float, fy: float, cx: float, cy: float,
             # edge i opposite vertex i; signed — orientation fixed via area sign
             A0, B0, C0 = sy1 - sy2, sx2 - sx1, sx1 * sy2 - sx2 * sy1
             A1, B1, C1 = sy2 - sy0, sx0 - sx2, sx2 * sy0 - sx0 * sy2
-            A2, B2, C2 = sy0 - sy1, sx1 - sx0, sx0 * sy1 - sx1 * sy0
             area2 = A0 * sx0 + B0 * sy0 + C0
             ok &= jnp.abs(area2) > 1e-9
             sgn = jnp.where(area2 >= 0, 1.0, -1.0)
@@ -289,27 +361,49 @@ def _raster_kernel(capacity: int, fx: float, fy: float, cx: float, cy: float,
             zi0 = 1.0 / jnp.maximum(z0, 1e-6)
             zi1 = 1.0 / jnp.maximum(z1, 1e-6)
             zi2 = 1.0 / jnp.maximum(z2, 1e-6)
+            A2, B2, C2 = sy0 - sy1, sx1 - sx0, sx0 * sy1 - sx1 * sy0
 
-            def plane(A, B, C):
-                # A, B, C are [1, 128] per-triangle coefficients
-                return xlc * A + ylc * B + C  # [PIX, 128]
-
-            E0 = plane(A0 * sgn, B0 * sgn, C0 * sgn)
-            E1 = plane(A1 * sgn, B1 * sgn, C1 * sgn)
-            E2 = plane(A2 * sgn, B2 * sgn, C2 * sgn)
-
-            def bary_plane(f0, f1, f2):
-                # plane of sum_i bary_i * f_i, bary_i = E_i(x,y)/area2 (signed)
-                return plane(
+            def bary_coeffs(f0, f1, f2):
+                # coefficients of the plane of sum_i bary_i * f_i
+                return (
                     (A0 * f0 + A1 * f1 + A2 * f2) * inv_signed,
                     (B0 * f0 + B1 * f1 + B2 * f2) * inv_signed,
                     (C0 * f0 + C1 * f1 + C2 * f2) * inv_signed,
                 )
 
-            ZI = bary_plane(zi0, zi1, zi2)  # 1/z at each pixel
-            UZ = bary_plane(td[9:10, :] * zi0, td[11:12, :] * zi1, td[13:14, :] * zi2)
-            VZ = bary_plane(td[10:11, :] * zi0, td[12:13, :] * zi1, td[14:15, :] * zi2)
-            zs = jnp.where(jnp.abs(ZI) > 1e-12, ZI, 1.0)
+            planes = [
+                (A0 * sgn, B0 * sgn, C0 * sgn),  # E0
+                (A1 * sgn, B1 * sgn, C1 * sgn),  # E1
+                bary_coeffs(zi0, zi1, zi2),  # ZI: 1/z
+                bary_coeffs(td[9:10, :] * zi0, td[11:12, :] * zi1, td[13:14, :] * zi2),
+                bary_coeffs(td[10:11, :] * zi0, td[12:13, :] * zi1, td[14:15, :] * zi2),
+            ]
+            # M [9, 640]: rows = (hi, mid, lo) x (A, B, C), cols = plane-major.
+            # Built in f32 (each part is bf16-exact) and cast once at the end:
+            # Mosaic can't lane-concat bf16 row vectors with mixed offsets.
+            def plane_block(a, b, cc):
+                ah, am, al = _split3_bf16(a)
+                bh, bm, bl = _split3_bf16(b)
+                ch, cm, cl = _split3_bf16(cc)
+                return jnp.concatenate(
+                    [r.astype(jnp.float32) for r in (ah, bh, ch, am, bm, cm, al, bl, cl)],
+                    axis=0,
+                )  # [9, 128]
+
+            M = jnp.concatenate(
+                [plane_block(a, b, cc) for (a, b, cc) in planes], axis=1
+            ).astype(jnp.bfloat16)  # [9, 640]
+            E = jax.lax.dot_general(
+                P, M, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )  # [PIX, 640]
+            E0 = E[:, 0:128]
+            E1 = E[:, 128:256]
+            ZI = E[:, 256:384]
+            UZ = E[:, 384:512]
+            VZ = E[:, 512:640]
+            E2 = jnp.abs(area2) - E0 - E1  # E0+E1+E2 == |area2| identically
             inside = (E0 >= 0) & (E1 >= 0) & (E2 >= 0) & ok  # ok broadcasts
 
             # SINGLE-pass z-buffer: instead of a (depth | triangle-id) key +
@@ -318,10 +412,13 @@ def _raster_kernel(capacity: int, fx: float, fy: float, cx: float, cy: float,
             # to 1/(2^UV_BITS-1) of the texture span (4x subtexel at
             # MAX_TEX_DIM) — ties only happen between equal-quantized-depth
             # triangles, i.e. shared-edge neighbors whose UVs agree anyway.
+            # One reciprocal serves both UV channels; for inside pixels
+            # ZI > 1/far > 0 so the epsilon floor never engages there.
             q = jnp.clip((ZI * qscale), 0, DEPTH_LEVELS - 1).astype(jnp.int32)
             dk = (DEPTH_LEVELS - 1 - q) * (1 << ID_BITS)
-            uq = jnp.clip(UZ / zs * UV_MAX, 0, UV_MAX).astype(jnp.int32)
-            vq = jnp.clip(VZ / zs * UV_MAX, 0, UV_MAX).astype(jnp.int32)
+            rcp = UV_MAX / jnp.maximum(ZI, 1e-12)
+            uq = jnp.clip(UZ * rcp, 0, UV_MAX).astype(jnp.int32)
+            vq = jnp.clip(VZ * rcp, 0, UV_MAX).astype(jnp.int32)
             key_u = jnp.where(inside, dk + uq, SENTINEL)
             key_v = jnp.where(inside, dk + vq, SENTINEL)
             return key_u, key_v
@@ -433,9 +530,15 @@ def render_mesh_grid(
         binned.tiles_x, interpret=interpret,
     )  # each [S, n_tiles, 16, 128]
     th, tw = binned.tex_hw
-    gray = _sample_texture_matmul(
-        keys, uu, vv, binned.texture, th, tw, float(background), interpret=interpret
-    )
+    if binned.tex_origin is not None and binned.tex_win:
+        gray = _sample_texture_windowed(
+            keys, uu, vv, binned.texture, jnp.asarray(binned.tex_origin),
+            th, tw, binned.tex_win, float(background), interpret=interpret,
+        )
+    else:
+        gray = _sample_texture_matmul(
+            keys, uu, vv, binned.texture, th, tw, float(background), interpret=interpret
+        )
     img = _untile(gray, S, binned.tiles_y, binned.tiles_x, binned.height, binned.width)
     if out_u8:
         img = jnp.clip(img, 0.0, 255.0).astype(jnp.uint8)
@@ -495,6 +598,105 @@ def _sample_kernel(th: int, tw: int, background: float):
             )
 
     return kernel
+
+
+def _sample_window_kernel(th: int, tw: int, win: int, background: float):
+    """Windowed variant of _sample_kernel: identical math, but the texture
+    operand is this tile's [win, win] sub-window (gathered on device from the
+    per-tile origins computed at bin time), so the row-select matmul costs
+    O(win^2) instead of O(tex^2) per pixel row."""
+
+    def kernel(origin_ref, key_ref, u_ref, v_ref, winT_ref, out_ref):
+        t = pl.program_id(1)
+        row0 = origin_ref[t, 0]
+        col0 = origin_ref[t, 1]
+        hit = key_ref[0, 0] != SENTINEL  # [16, 128]
+        tu = jnp.clip(u_ref[0, 0], 0.0, 1.0) * (tw - 1)
+        tv = jnp.clip(1.0 - v_ref[0, 0], 0.0, 1.0) * (th - 1)  # GL v flip
+        x0f = jnp.clip(jnp.floor(tu), 0, tw - 2)
+        y0f = jnp.clip(jnp.floor(tv), 0, th - 2)
+        ax = tu - x0f  # [16, 128]
+        ay = tv - y0f
+        # window-local texel indices; in-window for every hit pixel by
+        # construction of the bin-time origins, clipped only so the (masked)
+        # miss pixels index safely
+        x0 = jnp.clip(x0f.astype(jnp.int32) - col0, 0, win - 2)
+        y0 = jnp.clip(y0f.astype(jnp.int32) - row0, 0, win - 2)
+
+        winT = winT_ref[0].astype(jnp.bfloat16)  # [win(x), win(y)]
+        ty_iota = jax.lax.broadcasted_iota(jnp.int32, (win, TILE_W), 0)
+        tx_iota = jax.lax.broadcasted_iota(jnp.int32, (win, TILE_W), 0)
+
+        for r in range(TILE_H):
+            y0r = y0[r : r + 1, :]  # [1, 128]
+            ayr = ay[r : r + 1, :]
+            w_row = (
+                jnp.where(ty_iota == y0r, 1.0 - ayr, 0.0)
+                + jnp.where(ty_iota == y0r + 1, ayr, 0.0)
+            )  # [win, 128]
+            cols = jax.lax.dot_general(
+                winT, w_row.astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )  # [win, 128] — y-interpolated texture columns per pixel
+            x0r = x0[r : r + 1, :]
+            axr = ax[r : r + 1, :]
+            w_col = (
+                jnp.where(tx_iota == x0r, 1.0 - axr, 0.0)
+                + jnp.where(tx_iota == x0r + 1, axr, 0.0)
+            )  # [win, 128]
+            gray_r = jnp.sum(cols * w_col, axis=0, keepdims=True)  # [1, 128]
+            out_ref[0, 0, r : r + 1, :] = jnp.where(
+                hit[r : r + 1, :], gray_r, background
+            )
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("win",))
+def _gather_windowsT(texture: jnp.ndarray, origins: jnp.ndarray, win: int) -> jnp.ndarray:
+    """[n_tiles, win, win] transposed texture windows, sliced on device (the
+    origins are the only per-binning upload; the texture is already resident)."""
+    texT = texture.T  # [Tw_pad, Th_pad]
+
+    def one(o):
+        return jax.lax.dynamic_slice(texT, (o[1], o[0]), (win, win))
+
+    return jax.vmap(one)(origins)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("th", "tw", "win", "background", "interpret")
+)
+def _sample_texture_windowed(
+    keys, uu, vv, texture, origins, th, tw, win, background, interpret=False
+):
+    """[S, n_tiles, 16, 128] tiled gray via per-tile texture windows."""
+    S, n_tiles = keys.shape[:2]
+    spec = pl.BlockSpec(
+        (1, 1, TILE_H, TILE_W), lambda s, t: (s, t, 0, 0), memory_space=pltpu.VMEM
+    )
+    windowsT = _gather_windowsT(texture, origins, win)
+    return pl.pallas_call(
+        _sample_window_kernel(th, tw, win, background),
+        out_shape=jax.ShapeDtypeStruct(keys.shape, jnp.float32),
+        grid=(S, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            spec,
+            spec,
+            spec,
+            pl.BlockSpec((1, win, win), lambda s, t: (t, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * S * n_tiles * _PIX * win * win,
+            bytes_accessed=S * n_tiles * (4 * _PIX + win * win) * 4,
+            transcendentals=0,
+        ),
+    )(origins, keys, uu, vv, windowsT)
 
 
 @functools.partial(jax.jit, static_argnames=("th", "tw", "background", "interpret"))

@@ -120,7 +120,6 @@ class NMILocalizer:
             step_synth=cfg.grid.synth_step,
             step_warp=cfg.grid.warp_step,
         )
-        self._eval_cache: dict = {}
 
     # ------------------------------------------------------------------ grid
 
@@ -169,7 +168,8 @@ class NMILocalizer:
             )
         warped = homography.warp_rotation_grid(frame_gray, self.K, angles)
         scores = histogram_nmi.nmi_scores(
-            synth, warped, metric=self.cfg.metric, n_bins=self.cfg.n_bins
+            synth, warped, metric=self.cfg.metric, n_bins=self.cfg.n_bins,
+            use_background=self.cfg.use_background,
         )
         return np.asarray(scores)
 
@@ -304,8 +304,14 @@ class NMILocalizer:
                 f"NMI iter {i}: nmi={kernel.nmi:.5f} best_s={kernel.best_synth} "
                 f"best_w={kernel.best_warp} steps={kernel.step_synth}/{kernel.step_warp}"
             )
-            if initializing and i == 1 and kernel.nmi < 0.5 * cfg.threshold:
-                break  # hopeless latch — refinement can't recover a 2x miss
+            if (initializing and scale > 1.0
+                    and i == 1 and kernel.nmi < 0.5 * cfg.threshold):
+                # hopeless RE-init latch — refinement can't recover a 2x miss.
+                # Restricted to the widened re-init path (search_scale > 1):
+                # on original initialization callers ignore the outcome, so an
+                # early abort here would silently anchor the map from the
+                # unrefined configured init pose.
+                break
             if i > 1 and kernel.is_middle():
                 break
             if i > 1:
@@ -332,6 +338,11 @@ class NMILocalizer:
             distance = 0.0  # strictest threshold
         threshold = sk.adaptive_threshold(cfg.threshold, distance)
         if not np.isfinite(kernel.nmi) or kernel.nmi < threshold:
+            if initializing:
+                self.log(
+                    f"NMI INIT REJECTED: nmi={kernel.nmi:.5f} < threshold "
+                    f"{threshold:.5f} — init pose NOT refined"
+                )
             return NMIOutcome(
                 Tcw=Tcw_save,
                 nmi=kernel.nmi,

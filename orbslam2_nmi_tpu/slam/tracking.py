@@ -246,8 +246,12 @@ class Tracker:
                 # span with every failed latch so the true pose re-enters the
                 # grid (pure extension — the reference has no re-init at all)
                 self.nmi.search_scale = 1.0 + 0.5 * min(self._reinit_fails, 8)
-                ok = self._run_nmi(frame, initializing=True)
-                self.nmi.search_scale = 1.0
+                try:
+                    ok = self._run_nmi(frame, initializing=True)
+                finally:
+                    # without the finally, a raising _run_nmi would latch the
+                    # widened steps into every subsequent relocalization
+                    self.nmi.search_scale = 1.0
                 if not ok:
                     self._reinit_fails += 1
                     self.log(

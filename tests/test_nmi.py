@@ -110,6 +110,56 @@ def test_pallas_kernel_matches_reference_interpret():
     np.testing.assert_allclose(out, ref, atol=1e-3)
 
 
+def test_bg_masked_kernel_matches_oracle():
+    """nmi_prop_BG=false path (NMI.cu:85): the Pallas masked epilogue must
+    reproduce the masked oracle's (Hab, Ha, Hb) on partial-coverage images."""
+    rng = np.random.default_rng(6)
+    S, R, P = 2, 3, histogram_nmi._JSUPER
+    sb = np.asarray(rng.integers(0, 256, (S, P)), np.int32)
+    wb = np.asarray(rng.integers(0, 256, (R, P)), np.int32)
+    sb[:, : P // 3] = 0  # a third of the render is background
+    wb[:, P // 2 :] = 0
+    sb, wb = jnp.asarray(sb), jnp.asarray(wb)
+    out = np.asarray(
+        histogram_nmi.joint_entropy_grid_pallas(sb, wb, P, interpret=True, mask_zero=True)
+    )
+    for s in range(S):
+        for r in range(R):
+            hab, ha, hb = histogram_nmi.masked_entropies_reference(sb[s], wb[r], P)
+            np.testing.assert_allclose(out[0, s, r], float(hab), atol=1e-3)
+            np.testing.assert_allclose(out[1, s, r], float(ha), atol=1e-3)
+            np.testing.assert_allclose(out[2, s, r], float(hb), atol=1e-3)
+
+
+def test_bg_mask_changes_scores_on_partial_coverage():
+    """On a render that covers only part of the frame, use_background=False
+    must change the scores exactly as the masked oracle predicts — and pick
+    the aligned pose where the unmasked score is diluted by the background."""
+    rng = np.random.default_rng(7)
+    H, W = 32, 64
+    img = rng.uniform(1, 255, (H, W)).astype(np.float32)  # never 0 (camera)
+    partial = img.copy()
+    partial[:, W // 2 :] = 0.0  # render covers left half only
+    synth = jnp.asarray(partial[None])
+    warp = jnp.asarray(img[None])
+    s_masked = np.asarray(
+        histogram_nmi.nmi_scores(synth, warp, use_pallas=False, use_background=False)
+    )
+    s_unmasked = np.asarray(histogram_nmi.nmi_scores(synth, warp, use_pallas=False))
+    assert abs(s_masked[0, 0] - s_unmasked[0, 0]) > 1e-3
+    # exact agreement with the masked oracle through the public entry point
+    P = H * W
+    sb = histogram_nmi.quantize_to_bins(synth.reshape(1, P))
+    wb = histogram_nmi.quantize_to_bins(warp.reshape(1, P))
+    hab, ha, hb = histogram_nmi.masked_entropies_reference(sb[0], wb[0], P)
+    expect = 2.0 * (1.0 - float(hab) / (float(ha) + float(hb)))
+    np.testing.assert_allclose(s_masked[0, 0], expect, atol=1e-5)
+    # masked: the overlapping half is identical -> near-perfect score;
+    # unmasked: the black half floods the joint histogram and drags it down
+    assert s_masked[0, 0] > 0.9
+    assert s_unmasked[0, 0] < s_masked[0, 0]
+
+
 def test_pallas_kernel_handles_padding():
     rng = np.random.default_rng(5)
     P = 1000  # not a chunk multiple

@@ -189,6 +189,41 @@ def test_localizer_mesh_path_recovers_translation():
     assert e1 < 0.5 * e0, (e0, e1)
 
 
+def test_windowed_sampler_matches_whole_texture():
+    """The per-tile windowed texture sampler must agree exactly with the
+    whole-texture two-hot-matmul sampler (same math, restricted operand)."""
+    rng = np.random.default_rng(11)
+    n = 24
+    xs = np.linspace(-3, 3, n)
+    X, Y = np.meshgrid(xs, xs, indexing="xy")
+    Z = 6.0 + 0.5 * np.sin(X) * np.cos(Y)
+    verts = np.stack([X.ravel(), Y.ravel(), Z.ravel()], -1).astype(np.float32)
+    uvs = np.stack(
+        [(X.ravel() + 3) / 6, (Y.ravel() + 3) / 6], -1
+    ).astype(np.float32)
+    ii, jj = np.meshgrid(np.arange(n - 1), np.arange(n - 1), indexing="ij")
+    a = (ii * n + jj).ravel()
+    faces = np.concatenate(
+        [np.stack([a, a + 1, a + n + 1], -1), np.stack([a, a + n + 1, a + n], -1)]
+    ).astype(np.int32)
+    tex = rng.uniform(0, 255, (300, 300)).astype(np.float32)
+    mesh = MeshModel(vertices=verts, uvs=uvs, faces=faces, texture_gray=tex)
+    Tcw = np.eye(4, dtype=np.float32)
+    offsets = jnp.zeros((1, 3), jnp.float32)
+    b = raster.bin_mesh(mesh, Tcw, K, H, W, 1.0, 50.0, max_offset=0.0)
+    assert b.tex_origin is not None and b.tex_win >= 128, "window path must engage"
+    i_win = np.asarray(
+        raster.render_mesh_grid(b, Tcw, jnp.asarray(K), offsets, 1.0, 50.0, interpret=True)
+    )
+    i_full = np.asarray(
+        raster.render_mesh_grid(
+            b._replace(tex_origin=None, tex_win=0), Tcw, jnp.asarray(K), offsets,
+            1.0, 50.0, interpret=True,
+        )
+    )
+    np.testing.assert_array_equal(i_win, i_full)
+
+
 def test_binning_margin_covers_grid():
     """With a max_offset margin, every candidate's coverage is inside binned
     tiles (no clipped coverage at tile borders): render with the offset both
