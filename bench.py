@@ -185,6 +185,7 @@ def main():
             "n_keyframes": out["n_keyframes"],
             "n_map_points": out.get("n_map_points"),
             "n_loop_closures": out.get("n_loop_closures"),
+            "n_nmi_anchors": out.get("n_nmi_anchors"),
         }
     except Exception as e:  # keep the headline metric flowing regardless
         replay = {"error": f"{type(e).__name__}: {e}"}

@@ -127,6 +127,10 @@ class NMIConfig:
     reloc_frequency: int = 2  # nmi_prop_RELOC_FREQUENCY (every 2nd KF)
     step_factor: float = 0.5  # nmi_prop_STEPFACTOR
     use_background: bool = True  # nmi_prop_BG
+    # >1: run all but the final search iteration at 1/coarse_scale resolution
+    # (TPU-side pyramid; the final iteration and the accept gate are always
+    # full-resolution). 1 = reference behavior (every sweep full-res).
+    coarse_scale: int = 1
     min_kernel_rotation: float = 0.001  # rad (nmi_prop_MIN_KERNEL_ROTATION)
     min_kernel_translation: float = 0.005  # m (nmi_prop_MIN_KERNEL_TRANSLATION)
     # Score metric: "SUC" = 2(1 - Hab/(Ha+Hb)), "ENMI" = (Ha+Hb)/Hab

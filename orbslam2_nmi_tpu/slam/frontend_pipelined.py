@@ -227,16 +227,24 @@ class PipelinedFrontend:
             nmi_reloc = False
             if tr._need_new_keyframe(frame, u.n_inliers):
                 tr._gray = np.asarray(frames[idx])
-                if (
+                nmi_due = (
                     tr.nmi is not None
                     and tr.kfs_since_last_nmi + 1 == self.cfg.nmi.reloc_frequency
-                ):
+                )
+                worker = getattr(self.sys, "nmi_worker", None)
+                if nmi_due and worker is None:
                     nmi_reloc = tr._run_nmi(frame, initializing=False)
                 tr._create_keyframe(frame)
                 is_kf = True
-                tr.kfs_since_last_nmi += 1
-                if tr.kfs_since_last_nmi >= self.cfg.nmi.reloc_frequency:
-                    tr.kfs_since_last_nmi = 0
+                attempted = True
+                if nmi_due and worker is not None:
+                    attempted = tr._submit_async_nmi(frame)
+                if nmi_due and not attempted:
+                    pass  # NMI worker busy: next keyframe retries
+                else:
+                    tr.kfs_since_last_nmi += 1
+                    if tr.kfs_since_last_nmi >= self.cfg.nmi.reloc_frequency:
+                        tr.kfs_since_last_nmi = 0
                 self._reseed = True  # map mutated: re-anchor the device chain
 
             frame.mp_idx[frame.outlier] = -1

@@ -58,6 +58,13 @@ class NMIOutcome:
     num_warp: tuple = (3, 3, 3)
 
 
+def _box_pool(img: jnp.ndarray, scale: int) -> jnp.ndarray:
+    """[H, W] -> [H//s, W//s] average pooling (exact box filter)."""
+    h, w = img.shape
+    hs, ws = h // scale * scale, w // scale * scale
+    return img[:hs, :ws].reshape(hs // scale, scale, ws // scale, scale).mean((1, 3))
+
+
 def _euler_zyx_matrix(angles: jnp.ndarray) -> jnp.ndarray:
     """R = Rz(az) Ry(ay) Rx(ax) — same composition as the warp homographies
     and CalculateNMIRelocalization (Tracking.cc:2374-2419)."""
@@ -124,15 +131,28 @@ class NMILocalizer:
     # ------------------------------------------------------------------ grid
 
     def evaluate_grid(
-        self, frame_gray: jnp.ndarray, Tcw: jnp.ndarray, kernel: sk.SearchKernel
+        self, frame_gray: jnp.ndarray, Tcw: jnp.ndarray, kernel: sk.SearchKernel,
+        scale: int = 1,
     ) -> np.ndarray:
         """Score the full 6-D grid at pose Tcw. Returns [S, R] numpy scores.
 
         Equivalent to one RelocalizeWithNMI grid sweep (Tracking.cc:1879-1902)
-        fused into three device dispatches.
-        """
+        fused into three device dispatches. `scale > 1` evaluates at reduced
+        resolution (box-pooled camera frame, scaled intrinsics): the mutual
+        information statistics are preserved to grid-argmax accuracy while
+        render + score cost drops ~scale^2 — used for the coarse iterations
+        of the search (the FINAL iteration always runs at full resolution)."""
         offsets = render.translation_grid_offsets(kernel.num_synth, kernel.step_synth)
         angles = homography.rotation_grid_angles(kernel.num_warp, kernel.step_warp)
+        h, w = self.height // scale, self.width // scale
+        if scale == 1:
+            K = self.K
+            frame = frame_gray
+        else:
+            K_np = np.asarray(self.K).copy()
+            K_np[:2] /= scale
+            K = jnp.asarray(K_np)
+            frame = _box_pool(frame_gray, scale)
         if self.mesh is not None:
             # RENDER_TEXTURE: tiled triangle rasterizer, binned per pose (the
             # bin margin covers the whole candidate grid so all S renders
@@ -140,9 +160,9 @@ class NMILocalizer:
             binned = raster.bin_mesh(
                 self.mesh,
                 np.asarray(Tcw),
-                np.asarray(self.K),
-                self.height,
-                self.width,
+                np.asarray(K),
+                h,
+                w,
                 self.cfg.render_near,
                 self.cfg.render_far,
                 max_offset=np.abs(np.asarray(offsets)).max(axis=0),
@@ -150,7 +170,7 @@ class NMILocalizer:
             if binned.overflow:
                 self.log(f"NMI raster: {binned.overflow} tile-list entries dropped (capacity)")
             synth = raster.render_mesh_grid(
-                binned, jnp.asarray(Tcw), self.K, offsets,
+                binned, jnp.asarray(Tcw), K, offsets,
                 self.cfg.render_near, self.cfg.render_far,
                 interpret=jax.devices()[0].platform != "tpu",
             )
@@ -158,15 +178,15 @@ class NMILocalizer:
             synth = render.render_translation_grid(
                 self.model,
                 jnp.asarray(Tcw),
-                self.K,
+                K,
                 offsets,
-                self.height,
-                self.width,
+                h,
+                w,
                 self.cfg.render_near,
                 self.cfg.render_far,
-                point_size=max(1, int(round(self.cfg.render_point_size / self.scale))),
+                point_size=max(1, int(round(self.cfg.render_point_size / (self.scale * scale)))),
             )
-        warped = homography.warp_rotation_grid(frame_gray, self.K, angles)
+        warped = homography.warp_rotation_grid(frame, K, angles)
         scores = histogram_nmi.nmi_scores(
             synth, warped, metric=self.cfg.metric, n_bins=self.cfg.n_bins,
             use_background=self.cfg.use_background,
@@ -176,11 +196,12 @@ class NMILocalizer:
     # ------------------------------------------------------------- one round
 
     def relocalize_once(
-        self, frame_gray: jnp.ndarray, Tcw: np.ndarray, kernel: sk.SearchKernel
+        self, frame_gray: jnp.ndarray, Tcw: np.ndarray, kernel: sk.SearchKernel,
+        scale: int = 1,
     ) -> tuple[np.ndarray, sk.SearchKernel]:
         """One grid evaluation + pose snap to the best cell
         (RelocalizeWithNMI, Tracking.cc:1851-1985)."""
-        scores = self.evaluate_grid(frame_gray, Tcw, kernel)
+        scores = self.evaluate_grid(frame_gray, Tcw, kernel, scale=scale)
         s_flat, r_flat = np.unravel_index(np.argmax(scores), scores.shape)
         kernel = kernel.with_best_from_flat(int(s_flat), int(r_flat), float(scores[s_flat, r_flat]))
         if self.debug_dir:
@@ -288,6 +309,13 @@ class NMILocalizer:
                 step_warp=tuple(s * scale for s in kernel.step_warp),
             )
 
+        # coarse iterations can run at reduced resolution (cfg.coarse_scale
+        # > 1): MI argmax over the grid is preserved at ~scale^2 lower render
+        # + score cost, and the FINAL full-resolution pass below re-searches
+        # the last (smallest-step) grid so the accepted pose and score are
+        # always full-resolution quantities
+        coarse = max(1, int(getattr(cfg, "coarse_scale", 1)))
+
         Tcw_save = Tcw.copy()
         Tcw_save_last = Tcw.copy()
         last_nmi = 0.0
@@ -299,10 +327,11 @@ class NMILocalizer:
             if i > cfg.max_iteration_count:
                 break
             previous_poses.append(np.asarray(se3.se3_inverse(jnp.asarray(Tcw))))
-            Tcw, kernel = self.relocalize_once(frame_gray, Tcw, kernel)
+            Tcw, kernel = self.relocalize_once(frame_gray, Tcw, kernel, scale=coarse)
             self.log(
                 f"NMI iter {i}: nmi={kernel.nmi:.5f} best_s={kernel.best_synth} "
                 f"best_w={kernel.best_warp} steps={kernel.step_synth}/{kernel.step_warp}"
+                + (f" (1/{coarse} res)" if coarse > 1 else "")
             )
             if (initializing and scale > 1.0
                     and i == 1 and kernel.nmi < 0.5 * cfg.threshold):
@@ -329,6 +358,26 @@ class NMILocalizer:
         # revert to previous iterate if the last evaluation regressed
         if kernel.nmi < last_nmi:
             Tcw = Tcw_save_last
+
+        if coarse > 1:
+            # final pass at FULL resolution over the final kernel: snaps the
+            # pose at full-res MI accuracy and produces the authoritative
+            # score for the accept gate (coarse scores only steered the
+            # search). One extra sweep, shrunk to <=3 cells per axis (+-1
+            # final step around the coarse optimum — the coarse phase already
+            # localized the cell; re-sweeping a 5-wide init grid at full res
+            # would cost 4.6x a normal sweep for nothing).
+            fine = dataclasses.replace(
+                kernel,
+                num_synth=tuple(min(n, 3) for n in kernel.num_synth),
+                num_warp=tuple(min(n, 3) for n in kernel.num_warp),
+            )
+            previous_poses.append(np.asarray(se3.se3_inverse(jnp.asarray(Tcw))))
+            Tcw, kernel = self.relocalize_once(frame_gray, Tcw, fine, scale=1)
+            self.log(
+                f"NMI final (full res): nmi={kernel.nmi:.5f} "
+                f"best_s={kernel.best_synth} best_w={kernel.best_warp}"
+            )
 
         # adaptive acceptance (Tracking.cc:2140-2168). Fail safe on any
         # non-finite input: a NaN distance would make every comparison False

@@ -79,6 +79,11 @@ class MappingPipeline:
         Tracking.cc:1259-1302)."""
         return self._pending == 0
 
+    def queue_empty(self) -> bool:
+        """No keyframe WAITING (one may be mid-processing) — the tracker's
+        relaxed insert gate (KeyframesInQueue()==0 analogue)."""
+        return self.q.empty()
+
     def interrupt_ba(self):
         """LocalMapping::InterruptBA (Tracking.cc:1293): ask the in-flight
         local BA to stop early so the mapper can accept keyframes sooner.

@@ -38,11 +38,20 @@ class SLAMSystem:
         verbose: bool = False,
         async_mapping: bool = False,
         nmi_mesh=None,
+        async_nmi: bool = False,
     ):
         """`async_mapping=True` runs local mapping + loop closing in a
         background worker (the reference's thread layout, System.cc:116-120):
         tracking never blocks on BA. Default is the deterministic synchronous
-        interleave (same math, reproducible ordering)."""
+        interleave (same math, reproducible ordering).
+
+        `async_nmi=True` additionally moves the per-keyframe NMI sweep to its
+        own worker (slam/nmi/async_worker.py): the absolute anchor lands on
+        the keyframe 1-2 keyframes late instead of stalling tracking for the
+        whole coarse-to-fine grid search (a second-scale device cost the
+        reference pays synchronously, Tracking.cc:598-623). NMI
+        initialization and re-init latches stay synchronous — map scale
+        depends on them."""
         self.cfg = cfg
         self.output_dir = output_dir or cfg.output_dir
         os.makedirs(self.output_dir, exist_ok=True)
@@ -79,6 +88,11 @@ class SLAMSystem:
             from orbslam2_nmi_tpu.slam.pipeline import MappingPipeline
 
             self.pipeline = MappingPipeline(self)
+        self.nmi_worker = None
+        if async_nmi and self.localizer is not None:
+            from orbslam2_nmi_tpu.slam.nmi.async_worker import AsyncNMI
+
+            self.nmi_worker = AsyncNMI(self)
         self.frame_times: list[float] = []
 
     def _build_place_recognition(self):
@@ -173,6 +187,27 @@ class SLAMSystem:
         self.frame_times.append(time.time() - t0)
         return res
 
+    def activate_localization_mode(self):
+        """System::ActivateLocalizationMode (System.cc:298-303): freeze the
+        map and track against it only — no keyframes, no mapping, no loop
+        closing. The reference stops the LocalMapping thread; here the worker
+        is drained (it only works when keyframes are queued, and none will
+        be) and the tracker switches to the mbOnlyTracking branch."""
+        if self.pipeline is not None:
+            self.pipeline.flush(timeout=600.0)
+        if self.nmi_worker is not None:
+            self.nmi_worker.flush(timeout=600.0)
+        self.tracker.only_tracking = True
+        self.tracker.vo_mode = False
+        self.log("localization-only mode ACTIVATED (map frozen)")
+
+    def deactivate_localization_mode(self):
+        """System::DeactivateLocalizationMode (System.cc:305-310): resume
+        full SLAM (mapping + keyframe creation)."""
+        self.tracker.only_tracking = False
+        self.tracker.vo_mode = False
+        self.log("localization-only mode DEACTIVATED")
+
     def set_init_poses(self, Tcw1: np.ndarray, Tcw2: np.ndarray):
         self.tracker.set_init_poses(Tcw1, Tcw2)
 
@@ -257,6 +292,10 @@ class SLAMSystem:
 
     def shutdown(self):
         """System::Shutdown (System.cc:329): flush outputs, report timing."""
+        if self.nmi_worker is not None:
+            self.nmi_worker.shutdown()
+            for err in self.nmi_worker.errors():
+                self.log(f"NMI worker error:\n{err}")
         if self.pipeline is not None:
             self.pipeline.shutdown()
             for err in self.pipeline.errors():

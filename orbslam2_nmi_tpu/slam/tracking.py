@@ -93,6 +93,13 @@ class Tracker:
         self.dist_since_nmi = np.zeros(3)
         self.rot_since_nmi = np.zeros(3)
         self.n_resets: int = 0
+        # localization-only mode (System::ActivateLocalizationMode,
+        # System.cc:298-310): map frozen, no keyframes/mapping; vo_mode is
+        # the reference's mbVO flag — last frame held <10 map inliers, so the
+        # local map is unusable until relocalization re-attaches
+        # (Tracking.cc:402-530, :1163-1165)
+        self.only_tracking: bool = False
+        self.vo_mode: bool = False
         # last OK-tracked pose; survives reset() — seeds NMI re-initialization
         self._last_good_Tcw: Optional[np.ndarray] = None
         self._reinit_fails: int = 0
@@ -440,6 +447,8 @@ class Tracker:
     # ---------------------------------------------------------------- track
 
     def _track(self, frame: FrameData) -> TrackResult:
+        if self.only_tracking:
+            return self._track_localization_only(frame)
         t = self.cfg.tracking
         ok = False
         if self.state == TrackingState.LOST:
@@ -472,22 +481,85 @@ class Tracker:
         nmi_reloc = False
         if self._need_new_keyframe(frame, n_inliers):
             # NMI relocalization every reloc_frequency-th KF (Tracking.cc:598-623)
-            if (
+            nmi_due = (
                 self.nmi is not None
                 and self.kfs_since_last_nmi + 1 == self.cfg.nmi.reloc_frequency
-            ):
+            )
+            worker = getattr(self.system, "nmi_worker", None) if self.system else None
+            if nmi_due and worker is None:
                 nmi_reloc = self._run_nmi(frame, initializing=False)
             self._create_keyframe(frame)
             is_kf = True
-            self.kfs_since_last_nmi += 1
-            if self.kfs_since_last_nmi >= self.cfg.nmi.reloc_frequency:
-                self.kfs_since_last_nmi = 0
+            attempted = True
+            if nmi_due and worker is not None:
+                # async: sweep runs off-thread, anchor lands on the KF later
+                attempted = self._submit_async_nmi(frame)
+            if nmi_due and not attempted:
+                pass  # worker busy: counter stays due, next KF retries
+            else:
+                self.kfs_since_last_nmi += 1
+                if self.kfs_since_last_nmi >= self.cfg.nmi.reloc_frequency:
+                    self.kfs_since_last_nmi = 0
 
         # drop outlier bindings so the next frame doesn't use them (Tracking.cc:627)
         frame.mp_idx[frame.outlier] = -1
         frame.outlier[:] = False
 
         return TrackResult(self.state, frame.Tcw, n_inliers, is_kf, nmi_reloc)
+
+    def _track_localization_only(self, frame: FrameData) -> TrackResult:
+        """The mbOnlyTracking branch of Track (Tracking.cc:475-530, :546-552):
+        map frozen, no keyframes. In vo_mode (mbVO — last frame held <10 map
+        inliers) the pose comes from motion-model tracking AND relocalization
+        computed side by side, preferring a successful relocalization (which
+        re-attaches the local map and clears vo_mode)."""
+        ok = False
+        if self.state == TrackingState.LOST:
+            ok = self._relocalize(frame)
+            if ok:
+                self.state = TrackingState.OK
+                self.velocity = None
+        elif not self.vo_mode:
+            if self.velocity is not None and self.last_frame is not None:
+                ok = self._track_with_motion_model(frame)
+            if not ok:
+                ok = self._track_reference_keyframe(frame)
+        else:
+            # mbVO: two candidate poses (Tracking.cc:487-530)
+            ok_mm = False
+            mm_state = None
+            if self.velocity is not None and self.last_frame is not None:
+                ok_mm = self._track_with_motion_model(frame)
+                if ok_mm:
+                    mm_state = (
+                        frame.Tcw.copy(), frame.mp_idx.copy(), frame.outlier.copy()
+                    )
+            ok_reloc = self._relocalize(frame)
+            if ok_mm and not ok_reloc:
+                frame.Tcw, frame.mp_idx, frame.outlier = mm_state
+            elif ok_reloc:
+                self.vo_mode = False  # Tracking.cc:518
+            ok = ok_mm or ok_reloc
+
+        n_inliers = 0
+        if ok and not self.vo_mode:
+            # Tracking.cc:551: no TrackLocalMap while mbVO — the local map
+            # cannot be retrieved until the system relocalizes
+            n_inliers = self._track_local_map(frame)
+            ok = n_inliers >= 10
+
+        if not ok:
+            self.state = TrackingState.LOST
+            self.log(f"frame {frame.frame_id}: tracking LOST (localization-only)")
+            return TrackResult(self.state, None, 0, False)
+
+        self.state = TrackingState.OK
+        if self.last_frame is not None and self.last_frame.Tcw is not None:
+            self.velocity = frame.Tcw @ np.linalg.inv(self.last_frame.Tcw)
+        # no NeedNewKeyFrame / CreateNewKeyFrame: the map stays frozen
+        frame.mp_idx[frame.outlier] = -1
+        frame.outlier[:] = False
+        return TrackResult(self.state, frame.Tcw, n_inliers, False)
 
     def _pose_optimize(self, frame: FrameData) -> int:
         bound = frame.mp_idx >= 0
@@ -560,6 +632,11 @@ class Tracker:
         frame.mp_idx[idx[src]] = mp_ids[src]
         n_in = self._pose_optimize(frame)
         self.log(f"frame {frame.frame_id}: motion model {n_matches} matches, {n_in} inliers")
+        if self.only_tracking:
+            # Tracking.cc:1163-1165: <10 map inliers switches to VO mode but
+            # the frame still counts as tracked on >20 descriptor matches
+            self.vo_mode = n_in < 10
+            return n_matches > 20
         return n_in >= 10
 
     def _update_last_frame(self, last: FrameData):
@@ -711,6 +788,8 @@ class Tracker:
         busy, the in-flight local BA is interrupted and NO keyframe is created
         (monocular, :1290-1302)."""
         t = self.cfg.tracking
+        if self.only_tracking:  # Tracking.cc:1221
+            return False
         if self.map.n_keyframes == 0:
             return False
         pipeline = getattr(self.system, "pipeline", None) if self.system is not None else None
@@ -738,7 +817,17 @@ class Tracker:
         if idle:
             return True
         pipeline.interrupt_ba()  # Tracking.cc:1293
-        return False
+        # Deviation from the reference's strict monocular idle gate
+        # (Tracking.cc:1290-1302 refuses whenever the mapper is mid-keyframe):
+        # accept when nothing further is QUEUED — the in-flight keyframe's BA
+        # was just interrupted and picks this one up next, and the queue stays
+        # bounded at 1. With the strict gate, any rig where the mapper's
+        # per-keyframe latency exceeds the inter-keyframe interval (e.g. a
+        # network-tunneled device) starves keyframe creation entirely — no
+        # keyframes -> no NMI anchors -> unbounded drift, the failure the
+        # whole fork exists to prevent. (The reference's stereo path makes
+        # the same trade with a queue<3 gate, Tracking.cc:1296-1301.)
+        return pipeline.queue_empty()
 
     def _create_keyframe(self, frame: FrameData):
         k = self.map.add_keyframe(
@@ -936,6 +1025,21 @@ class Tracker:
         return len(got)
 
     # ------------------------------------------------------------------ NMI
+
+    def _submit_async_nmi(self, frame: FrameData) -> bool:
+        """Hand the sweep for the just-created keyframe (self.ref_kf) to the
+        async NMI worker (slam/nmi/async_worker.py). Returns False when a
+        sweep is already in flight — the caller then keeps the
+        every-reloc_frequency counter due so the next keyframe retries."""
+        worker = self.system.nmi_worker
+        return worker.submit(
+            self.ref_kf,
+            self._gray.astype(np.float32),
+            frame.Tcw,
+            self.dist_since_nmi,
+            self.rot_since_nmi,
+            frame.frame_id,
+        )
 
     def _run_nmi(self, frame: FrameData, initializing: bool) -> bool:
         if self.nmi is None:

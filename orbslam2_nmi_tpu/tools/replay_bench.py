@@ -26,8 +26,9 @@ import numpy as np
 
 # bump when world generation OR the renderer's numerics change — the NMI
 # oracle scores live renders against this imagery, so both must come from
-# the same raster convention (v3: fp32 edge/plane evaluation)
-SEQ_VERSION = 3
+# the same raster convention (v3: fp32 edge/plane evaluation; v4: bf16x3 MXU
+# plane evaluation + windowed texture sampler)
+SEQ_VERSION = 4
 
 
 def sequence_cache_path(n_frames: int, width: int, height: int, seed: int,
@@ -67,7 +68,8 @@ def generate_sequence(n_frames: int = 520, width: int = 960, height: int = 540,
 
 def build_system(world, width: int, height: int, n_features: int = 2000,
                  n_levels: int = 8, use_nmi: bool = True, async_mapping: bool = True,
-                 max_keyframes: int = 512, output_dir=None):
+                 max_keyframes: int = 512, output_dir=None, async_nmi: bool = None,
+                 threshold: float = 0.45):
     import tempfile
 
     import jax.numpy as jnp
@@ -93,12 +95,13 @@ def build_system(world, width: int, height: int, n_features: int = 2000,
             # ~0.1-0.2). This synthetic world is self-rendered: a correct pose
             # scores ~0.9 and a few-pixel misalignment still ~0.33, so the
             # gate sits between them.
-            threshold=0.45,
+            threshold=threshold,
             render_near=near,
             render_far=far,
             grid=NMIGridConfig(),
             max_iteration_count=4,
             reloc_frequency=2,
+            coarse_scale=2,  # half-res coarse iterations, full-res final
         ),
         tracking=TrackingConfig(
             max_frames=30, max_keyframes=max_keyframes,
@@ -112,6 +115,9 @@ def build_system(world, width: int, height: int, n_features: int = 2000,
         nmi_mesh=world.mesh if use_nmi else None,
         output_dir=output_dir or tempfile.mkdtemp(prefix="replay_bench_"),
         async_mapping=async_mapping,
+        # async NMI (off-critical-path sweep) follows the async-mapping mode
+        # unless explicitly overridden
+        async_nmi=async_mapping if async_nmi is None else async_nmi,
     )
 
 
@@ -176,6 +182,10 @@ def run_replay(world, frames, use_nmi: bool = True, async_mapping: bool = True,
             t_frames.append(time.perf_counter() - t0)
             if res.state == TrackingState.OK and res.Tcw is not None:
                 n_ok += 1
+    if sys_.nmi_worker is not None:
+        sys_.nmi_worker.flush(timeout=600.0)
+        errs = sys_.nmi_worker.errors()
+        assert not errs, errs[0]
     if sys_.pipeline is not None:
         sys_.pipeline.flush(timeout=600.0)
         errs = sys_.pipeline.errors()
@@ -202,6 +212,9 @@ def run_replay(world, frames, use_nmi: bool = True, async_mapping: bool = True,
         "ate_rmse": ate,
         "n_loop_closures": (
             len(sys_.loop_closer.loop_edges) if sys_.loop_closer is not None else 0
+        ),
+        "n_nmi_anchors": int(
+            np.sum(sys_.map.kf_nmi_reloc[sys_.map.valid_keyframe_indices()])
         ),
     }
     sys_.shutdown()

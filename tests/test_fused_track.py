@@ -116,6 +116,45 @@ def test_fused_step_outputs_consistent(world_and_frames):
     sys_.shutdown()
 
 
+def test_async_nmi_anchor_lands(world_and_frames):
+    """Async NMI (slam/nmi/async_worker.py): the sweep runs off-thread and the
+    absolute anchor lands on the keyframe after the fact — tracking health,
+    anchor count, drift-credit bookkeeping and the unaligned-ATE band must
+    match the sync path (which test_pipelined_frontend_with_nmi pins)."""
+    world, frames = world_and_frames
+    sys_ = make_system(world, use_nmi=True, async_nmi=True)
+    assert sys_.nmi_worker is not None
+    sys_.set_init_poses(world.pose_at(0, N_FRAMES), world.pose_at(4, N_FRAMES))
+
+    est, gt = [], []
+    n_ok = 0
+    for i, img in enumerate(frames):
+        res = sys_.track_monocular(img, i / 10.0)
+        if res.state == TrackingState.OK and res.Tcw is not None:
+            n_ok += 1
+    assert sys_.nmi_worker.flush(timeout=300.0)
+    assert not sys_.nmi_worker.errors(), sys_.nmi_worker.errors()[0]
+    assert n_ok >= N_FRAMES - 6, f"only {n_ok} frames tracked"
+    # init anchors are synchronous; at least one ASYNC sweep ran to completion
+    assert sys_.nmi_worker.n_applied + sys_.nmi_worker.n_failed >= 1
+    assert sys_.map.kf_nmi_reloc[: sys_.map.n_keyframes].sum() >= 2
+    # applied anchors must be flagged on valid keyframes (fixed in later BA)
+    if sys_.nmi_worker.n_applied:
+        anchored = np.nonzero(sys_.map.kf_nmi_reloc[: sys_.map.n_keyframes])[0]
+        assert sys_.map.kf_valid[anchored].all()
+    # the recomposed trajectory (SaveFullTrajectory semantics) reflects the
+    # late-landing anchors; same unaligned accuracy band as the sync path
+    from orbslam2_nmi_tpu.io.trajectory import recompose_trajectory
+
+    with sys_.map.lock:
+        rows = recompose_trajectory(sys_.tracker.trajectory, sys_.map)
+    est = [r[2] for r in rows]
+    gt = [world.pose_at(r[0], N_FRAMES) for r in rows]
+    err = ate_rmse(est, gt, align=False)
+    assert err < 0.9, f"async-NMI unaligned ATE {err:.3f} m"
+    sys_.shutdown()
+
+
 def test_pipelined_frontend_with_nmi(world_and_frames):
     """NMI relocalization inside the pipelined front-end: the pose snap +
     carry reseed must keep the fused chain consistent (the path the full

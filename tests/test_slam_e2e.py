@@ -25,7 +25,7 @@ def world_and_frames():
     return world, frames
 
 
-def make_system(world, use_nmi=False):
+def make_system(world, use_nmi=False, async_nmi=False):
     K = world.camera_K(W, H)
     cfg = SystemConfig(
         camera=CameraConfig(
@@ -55,7 +55,10 @@ def make_system(world, use_nmi=False):
         )
     import tempfile
 
-    return SLAMSystem(cfg, nmi_model=model, use_nmi=use_nmi, output_dir=tempfile.mkdtemp())
+    return SLAMSystem(
+        cfg, nmi_model=model, use_nmi=use_nmi, output_dir=tempfile.mkdtemp(),
+        async_nmi=async_nmi,
+    )
 
 
 def test_vo_pipeline_tracks_sequence(world_and_frames):
@@ -142,4 +145,59 @@ def test_async_pipeline_tracks_sequence(world_and_frames):
     assert sys_.map.n_keyframes >= 3
     err = ate_rmse(est, gt, align=False)
     assert err < 0.8, f"async ATE {err:.3f} m"
+    sys_.shutdown()
+
+
+def test_localization_only_mode(world_and_frames):
+    """System::ActivateLocalizationMode (System.cc:298-310) + the
+    mbOnlyTracking/mbVO branch of Track (Tracking.cc:402-530): build a map,
+    freeze it, track a second pass with ZERO map growth, survive an induced
+    loss via relocalization, then resume full SLAM."""
+    world, frames = world_and_frames
+    sys_ = make_system(world, use_nmi=False)
+    sys_.set_init_poses(world.pose_at(0, N_FRAMES), world.pose_at(4, N_FRAMES))
+    for i, img in enumerate(frames):
+        sys_.track_monocular(img, i / 10.0)
+    assert sys_.map.n_keyframes >= 3
+
+    sys_.activate_localization_mode()
+    n_kf = int(sys_.map.n_keyframes)
+    n_mp = len(sys_.map.valid_point_indices())
+
+    # second pass over the same path: must track against the frozen map
+    est, gt = [], []
+    n_ok = 0
+    for i, img in enumerate(frames):
+        res = sys_.track_monocular(img, (N_FRAMES + i) / 10.0, frame_id=N_FRAMES + i)
+        if res.state == TrackingState.OK and res.Tcw is not None:
+            n_ok += 1
+            est.append(res.Tcw)
+            gt.append(world.pose_at(i, N_FRAMES))
+    assert n_ok >= N_FRAMES - 8, f"only {n_ok}/{N_FRAMES} frames in loc-only mode"
+    assert int(sys_.map.n_keyframes) == n_kf, "map grew in localization mode"
+    assert len(sys_.map.valid_point_indices()) == n_mp, "points grew in loc mode"
+    err = ate_rmse(est, gt, align=False)
+    assert err < 0.8, f"loc-only ATE {err:.3f} m"
+
+    # induced loss: garbage frames, then recovery on real imagery
+    rng = np.random.default_rng(0)
+    fid = 2 * N_FRAMES
+    for j in range(3):
+        noise = rng.integers(0, 255, frames[0].shape).astype(np.uint8)
+        res = sys_.track_monocular(noise, (fid + j) / 10.0, frame_id=fid + j)
+    assert sys_.tracker.state == TrackingState.LOST
+    recovered = False
+    for j in range(6):
+        res = sys_.track_monocular(
+            frames[6 + j], (fid + 3 + j) / 10.0, frame_id=fid + 3 + j
+        )
+        if res.state == TrackingState.OK:
+            recovered = True
+            break
+    assert recovered, "relocalization failed after induced loss in loc-only mode"
+    assert int(sys_.map.n_keyframes) == n_kf
+
+    # resume full SLAM: keyframe creation allowed again
+    sys_.deactivate_localization_mode()
+    assert sys_.tracker.only_tracking is False
     sys_.shutdown()

@@ -110,9 +110,10 @@ def test_update_last_frame_walks_culled_ref():
 
 
 def test_need_new_keyframe_respects_mapper_idle():
-    """Async-mode keyframe policy (Tracking.cc:1259-1302): with the mapping
-    worker busy, c1b is gated off and a due keyframe is NOT created — instead
-    the in-flight local BA is interrupted (monocular InterruptBA path)."""
+    """Async-mode keyframe policy (Tracking.cc:1259-1302 + the documented
+    relaxation): with the mapper busy, the in-flight local BA is interrupted;
+    the keyframe is still created when nothing further is QUEUED (bounded
+    queue of 1), and refused when the queue already holds a keyframe."""
     from orbslam2_nmi_tpu.config import CameraConfig, ORBConfig, SystemConfig, TrackingConfig
     from orbslam2_nmi_tpu.slam.frame import FrameData
     from orbslam2_nmi_tpu.slam.map_store import MapStore
@@ -136,12 +137,16 @@ def test_need_new_keyframe_respects_mapper_idle():
     )
 
     class _Pipe:
-        def __init__(self, is_idle):
+        def __init__(self, is_idle, q_empty=True):
             self._idle = is_idle
+            self._q_empty = q_empty
             self.interrupted = False
 
         def idle(self):
             return self._idle
+
+        def queue_empty(self):
+            return self._q_empty
 
         def interrupt_ba(self):
             self.interrupted = True
@@ -167,8 +172,12 @@ def test_need_new_keyframe_respects_mapper_idle():
     sysm.pipeline = _Pipe(True)
     assert tr._need_new_keyframe(frame(12), n_inliers=30)
     assert not sysm.pipeline.interrupted
-    # same frame, mapper busy -> no keyframe, BA interrupted
-    sysm.pipeline = _Pipe(False)
+    # same frame, mapper busy but queue empty -> create anyway, BA interrupted
+    sysm.pipeline = _Pipe(False, q_empty=True)
+    assert tr._need_new_keyframe(frame(12), n_inliers=30)
+    assert sysm.pipeline.interrupted
+    # mapper busy AND a keyframe already queued -> refuse (bounded queue)
+    sysm.pipeline = _Pipe(False, q_empty=False)
     assert not tr._need_new_keyframe(frame(12), n_inliers=30)
     assert sysm.pipeline.interrupted
     # not due -> no interrupt either
