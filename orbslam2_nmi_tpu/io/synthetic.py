@@ -218,6 +218,78 @@ class SyntheticMeshWorld:
     def near_far() -> tuple:
         return 4.0, 45.0
 
+    def lit_mesh(self, sun=(0.45, 0.30, 0.85), ambient: float = 0.30):
+        """A photometrically DIVERGENT copy of the terrain mesh: the texture is
+        modulated by Lambertian terrain shading from a sun direction.
+
+        This manufactures the reference's core operating condition — live
+        camera imagery and the prior model texture NEVER match photometrically
+        (README.md:1-76: photogrammetry texture vs a different day's flight) —
+        inside the synthetic oracle: camera frames are rendered from THIS
+        shaded mesh while the NMI prior keeps the flat texture. The height
+        field's planar UV makes the light map bakeable per-texel (UV <-> world
+        x,y is a bijection, terrain_mesh uvs)."""
+        mesh = self.mesh
+        th, tw = mesh.texture_gray.shape
+        n = int(np.sqrt(len(mesh.vertices)))
+        Z = mesh.vertices[:, 2].reshape(n, n)  # [y, x] (meshgrid indexing=xy)
+        X = mesh.vertices[:, 0].reshape(n, n)
+        Y = mesh.vertices[:, 1].reshape(n, n)
+        dzdx = np.gradient(Z, X[0, :], axis=1)
+        dzdy = np.gradient(Z, Y[:, 0], axis=0)
+        nrm = np.stack([-dzdx, -dzdy, np.ones_like(Z)], -1)
+        nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+        sun = np.asarray(sun, np.float64)
+        sun = sun / np.linalg.norm(sun)
+        light = ambient + (1.0 - ambient) * np.clip(nrm @ sun, 0.0, None)
+        # vertex-grid light -> texel grid: u ~ x (cols), v ~ y; texture row 0
+        # is v=1 (GL flip in the sampler), i.e. y=+ey -> flip rows
+        li = np.clip(
+            _bilinear_resize(light[::-1, :], th, tw), 0.0, 1.2
+        )
+        tex = np.clip(mesh.texture_gray * li, 0.0, 255.0).astype(np.float32)
+        import dataclasses as _dc
+
+        return _dc.replace(mesh, texture_gray=tex)
+
+
+def _bilinear_resize(a: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Plain-numpy separable bilinear resize of a 2-D array."""
+    ys = np.linspace(0, a.shape[0] - 1, h)
+    xs = np.linspace(0, a.shape[1] - 1, w)
+    y0 = np.clip(ys.astype(np.int64), 0, a.shape[0] - 2)
+    x0 = np.clip(xs.astype(np.int64), 0, a.shape[1] - 2)
+    ay = (ys - y0)[:, None]
+    ax = (xs - x0)[None, :]
+    r0 = a[y0][:, x0] * (1 - ax) + a[y0][:, x0 + 1] * ax
+    r1 = a[y0 + 1][:, x0] * (1 - ax) + a[y0 + 1][:, x0 + 1] * ax
+    return r0 * (1 - ay) + r1 * ay
+
+
+def apply_photometric_gap(frames: np.ndarray, seed: int = 0,
+                          noise_sigma: float = 4.0, gamma: float = 1.25,
+                          vignette: float = 0.35) -> np.ndarray:
+    """Screen-space camera-degradation stack applied to rendered frames:
+    smooth per-frame exposure drift, radial vignette, gamma, sensor noise.
+    Composed with the lit-mesh rendering this gives camera imagery that no
+    longer matches the flat prior texture photometrically — the condition the
+    NMI metric (vs SSD/NCC) exists for (reference NMI.cu:230-363)."""
+    rng = np.random.default_rng(seed)
+    n, h, w = frames.shape
+    yy, xx = np.meshgrid(
+        np.linspace(-1, 1, h), np.linspace(-1, 1, w), indexing="ij"
+    )
+    vig = 1.0 - vignette * np.clip(xx * xx + yy * yy, 0.0, 1.0)
+    t = np.arange(n) / max(n - 1, 1)
+    gain = 0.8 + 0.4 * np.sin(2.5 * np.pi * t + 0.7) * 0.5 + 0.1 * t
+    out = np.empty_like(frames)
+    for i in range(n):
+        f = frames[i].astype(np.float32) / 255.0
+        f = np.clip(f * gain[i] * vig, 0.0, 1.0) ** gamma
+        f = f * 255.0 + rng.normal(0.0, noise_sigma, (h, w))
+        out[i] = np.clip(f, 0, 255).astype(frames.dtype)
+    return out
+
 
 def _not_tpu() -> bool:
     import jax

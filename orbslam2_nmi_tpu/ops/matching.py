@@ -128,6 +128,56 @@ def window_mask(
 
 
 @jax.jit
+def match_epipolar_batch(
+    desc1: jnp.ndarray,  # [F1, 8] the new keyframe's descriptors (shared)
+    free1: jnp.ndarray,  # [N, F1] per-pair free mask (bindings change as pairs land)
+    xy1: jnp.ndarray,  # [F1, 2]
+    desc2_b: jnp.ndarray,  # [N, F2, 8] neighbor descriptors
+    free2_b: jnp.ndarray,  # [N, F2]
+    xy2_b: jnp.ndarray,  # [N, F2, 2]
+    F12_b: jnp.ndarray,  # [N, 3, 3]
+    sigma2_2_b: jnp.ndarray,  # [N, F2]
+) -> jnp.ndarray:
+    """All of CreateNewMapPoints' epipolar matches in ONE dispatch.
+
+    The reference walks up to 20 covisible neighbors calling
+    SearchForTriangulation per pair (LocalMapping.cc:210-224); the host-loop
+    equivalent here costs ~2 device round-trips per pair — on a remote-device
+    rig that makes the mapper 10x slower than its device time. vmap over the
+    pair axis turns it into one program. Returns match idx [N, F1] into F2."""
+
+    def one(free1p, desc2, free2, xy2, F12, s2):
+        return match_epipolar(desc1, free1p, desc2, free2, xy1, xy2, F12, s2)[0]
+
+    return jax.vmap(one)(free1, desc2_b, free2_b, xy2_b, F12_b, sigma2_2_b)
+
+
+@jax.jit
+def fuse_match_batch(
+    desc_src: jnp.ndarray,  # [P, NB, 8] source map-point descriptors (padded)
+    valid_src: jnp.ndarray,  # [P, NB]
+    proj: jnp.ndarray,  # [P, NB, 2] projections into the destination KF
+    desc_dst: jnp.ndarray,  # [P, F, 8] destination KF feature descriptors
+    valid_dst: jnp.ndarray,  # [P, F]
+    xy_dst: jnp.ndarray,  # [P, F, 2]
+    radius: float = 3.0,
+) -> jnp.ndarray:
+    """All of SearchInNeighbors' fuse matches (both directions, all neighbor
+    pairs) in ONE dispatch — same per-pair math as _fuse_into's window mask +
+    Hamming match (ORBmatcher::Fuse, ORBmatcher.cc:858). Returns [P, NB]
+    match idx into the destination features (or -1)."""
+
+    def one(ds, vs, pj, dd, vd, xd):
+        sm = window_mask(pj, xd, radius)
+        idx, _ = match_descriptors(
+            ds, vs, dd, vd, spatial_mask=sm, max_dist=TH_LOW, apply_ratio=False
+        )
+        return idx
+
+    return jax.vmap(one)(desc_src, valid_src, proj, desc_dst, valid_dst, xy_dst)
+
+
+@jax.jit
 def match_epipolar(
     desc1: jnp.ndarray,
     free1: jnp.ndarray,

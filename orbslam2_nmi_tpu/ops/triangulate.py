@@ -94,3 +94,25 @@ def triangulate_and_gate(
         & jnp.isfinite(pts_w).all(axis=-1)
     )
     return TriangulationResult(points_w=pts_w, valid=ok, parallax_cos=cos_par)
+
+
+@jax.jit
+def triangulate_and_gate_batch(
+    K: jnp.ndarray,
+    Tcw1: jnp.ndarray,  # [4, 4] the new keyframe (shared)
+    Tcw2_b: jnp.ndarray,  # [N, 4, 4] neighbor poses
+    uv1_b: jnp.ndarray,  # [N, NB, 2]
+    uv2_b: jnp.ndarray,  # [N, NB, 2]
+    is2_1_b: jnp.ndarray,  # [N, NB]
+    is2_2_b: jnp.ndarray,  # [N, NB]
+    valid_b: jnp.ndarray,  # [N, NB]
+) -> TriangulationResult:
+    """All neighbor pairs of CreateNewMapPoints triangulated + gated in ONE
+    dispatch (vmap over the pair axis; see matching.match_epipolar_batch for
+    why the per-pair host loop is a 10x mapper-latency problem on remote
+    devices). Fields come back with a leading [N] pair axis."""
+
+    def one(Tcw2, uv1, uv2, s1, s2, v):
+        return triangulate_and_gate(K, Tcw1, Tcw2, uv1, uv2, s1, s2, v)
+
+    return jax.vmap(one)(Tcw2_b, uv1_b, uv2_b, is2_1_b, is2_2_b, valid_b)

@@ -165,23 +165,33 @@ def sharded_bundle_adjust(
             gp_tilde = jnp.einsum("pkl,pl->pk", Hpp_inv, gp, precision=_HI)
             g_part = gc.reshape(-1) - jnp.matmul(B, gp_tilde.reshape(-1), precision=_HI)
 
-            # the ONLY non-scalar collectives: [6C, 6C] + [6C]
+            # the ONLY non-scalar collectives: [6C, 6C] + [6C] + the [C, 6]
+            # update broadcast
             S = jax.lax.psum(S_part.reshape(C * 6, C * 6), axis)
             g_s = jax.lax.psum(g_part, axis)
 
-            lamI6 = lam * jnp.eye(6)
-            S = S.reshape(C, 6, C, 6)
-            S = S.at[jnp.arange(C), :, jnp.arange(C), :].add(
-                lamI6[None] + 1e-8 * jnp.eye(6)[None]
+            def solve_root():
+                lamI6 = lam * jnp.eye(6)
+                Sd = S.reshape(C, 6, C, 6)
+                Sd = Sd.at[jnp.arange(C), :, jnp.arange(C), :].add(
+                    lamI6[None] + 1e-8 * jnp.eye(6)[None]
+                )
+                Sd = Sd.reshape(C * 6, C * 6)
+                free6 = jnp.repeat(free, 6)
+                Sd = jnp.where(free6[:, None] & free6[None, :], Sd, 0.0)
+                Sd = Sd + jnp.diag(jnp.where(free6, 0.0, 1.0))
+                g = jnp.where(free6, g_s, 0.0)
+                return jax.scipy.linalg.cho_solve(
+                    jax.scipy.linalg.cho_factor(Sd + 1e-8 * jnp.eye(C * 6)), g
+                ).reshape(C, 6)
+
+            # Cholesky on chip 0 only, psum-broadcast the update (same root-
+            # solve pattern as sharded_pose_graph): a replicated factorization
+            # costs n_devices x the FLOPs for the same wall time
+            on_root = jax.lax.axis_index(axis) == 0
+            dxc = jax.lax.psum(
+                jax.lax.cond(on_root, solve_root, lambda: jnp.zeros((C, 6))), axis
             )
-            S = S.reshape(C * 6, C * 6)
-            free6 = jnp.repeat(free, 6)
-            S = jnp.where(free6[:, None] & free6[None, :], S, 0.0)
-            S = S + jnp.diag(jnp.where(free6, 0.0, 1.0))
-            g_s = jnp.where(free6, g_s, 0.0)
-            dxc = jax.scipy.linalg.cho_solve(
-                jax.scipy.linalg.cho_factor(S + 1e-8 * jnp.eye(C * 6)), g_s
-            ).reshape(C, 6)
 
             # back-substitute the local point shard
             Bt_dxc = jnp.einsum("cpkl,ck->pl", Hcp, dxc, precision=_HI)

@@ -57,20 +57,30 @@ def sharded_nmi_search(
     """
     n_dev = mesh.shape[POSE_AXIS]
     S = offsets_cam.shape[0]
+    R = angles.shape[0]
     offsets_p = pad_to_multiple(offsets_cam, n_dev, axis=0, fill=1e6)  # far away => empty render
+    angles_p = pad_to_multiple(angles, n_dev, axis=0)  # identity-rotation pads
     S_pad = offsets_p.shape[0]
     if use_pallas is None:
         use_pallas = jax.devices()[0].platform == "tpu"
 
-    warped = homography.warp_rotation_grid(frame_gray, K, angles)  # replicated
+    # homographies + warp-path choice from the FULL angle set (so the sharded
+    # warp takes the exact same code path as the single-device reference run)
+    Hs, warp_one = _shard_warp_plan(frame_gray, K, angles_p)
 
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(POSE_AXIS, None), P(None, None, None)),
+        in_specs=(P(POSE_AXIS, None), P(POSE_AXIS, None, None)),
         out_specs=P(POSE_AXIS, None),
     )
-    def eval_shard(offsets_local, warped_rep):
+    def eval_shard(offsets_local, Hs_local):
+        # the rotation warps are sharded too (R/D per chip) and exchanged
+        # with one [R, H, W] all_gather — a replicated warp costs n_dev x the
+        # FLOPs for the same wall time (the r3 scaling bench's NMI overhead)
+        warped_rep = jax.lax.all_gather(
+            warp_one(Hs_local), POSE_AXIS, axis=0, tiled=True
+        )
         synth = render.render_translation_grid(
             model, Tcw, K, offsets_local, height, width, near, far, point_size
         )
@@ -78,9 +88,25 @@ def sharded_nmi_search(
             synth, warped_rep, metric=metric, use_pallas=use_pallas
         )
 
-    scores = eval_shard(offsets_p, warped)
+    scores = eval_shard(offsets_p, Hs)
     valid = (jnp.arange(S_pad) < S)[:, None]
-    return jnp.where(valid, scores, -jnp.inf)[:S]
+    return jnp.where(valid, scores, -jnp.inf)[:S, :R]
+
+
+def _shard_warp_plan(frame_gray, K, angles_p):
+    """(homographies [R_pad, 3, 3], warp_fn(Hs_local) -> [R_loc, H, W]) using
+    the same two-pass/gather decision warp_rotation_grid makes for the FULL
+    angle set — sharding must not change which warp algorithm runs."""
+    import numpy as np
+
+    bound = homography.shift_bounds_for_angles(
+        np.asarray(K), np.asarray(angles_p), *frame_gray.shape
+    )
+    use_two_pass = max(bound) <= 64
+    Hs = homography.homographies_from_angles(K, angles_p)
+    if use_two_pass:
+        return Hs, lambda h: homography._warp_grid_two_pass_jit(frame_gray, h, bound)
+    return Hs, lambda h: homography._warp_grid_gather_jit(frame_gray, h)
 
 
 def sharded_nmi_search_mesh(
@@ -106,22 +132,29 @@ def sharded_nmi_search_mesh(
 
     n_dev = mesh.shape[POSE_AXIS]
     S = offsets_cam.shape[0]
+    R = angles.shape[0]
     offsets_p = pad_to_multiple(offsets_cam, n_dev, axis=0, fill=1e6)
+    angles_p = pad_to_multiple(angles, n_dev, axis=0)
     S_pad = offsets_p.shape[0]
     if use_pallas is None:
         use_pallas = jax.devices()[0].platform == "tpu"
     K_np = np.asarray(K, np.float32)
 
-    warped = homography.warp_rotation_grid(frame_gray, jnp.asarray(K_np), angles)
+    Hs, warp_one = _shard_warp_plan(frame_gray, jnp.asarray(K_np), angles_p)
 
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(POSE_AXIS, None), P(None, None, None)),
+        in_specs=(P(POSE_AXIS, None), P(POSE_AXIS, None, None)),
         out_specs=P(POSE_AXIS, None),
         check_vma=False,  # pallas_call outputs carry no varying-mesh-axes info
     )
-    def eval_shard(offsets_local, warped_rep):
+    def eval_shard(offsets_local, Hs_local):
+        # warps sharded over the same axis + one all_gather (see
+        # sharded_nmi_search)
+        warped_rep = jax.lax.all_gather(
+            warp_one(Hs_local), POSE_AXIS, axis=0, tiled=True
+        )
         synth = raster.render_mesh_grid(
             binned, Tcw, K_np, offsets_local, near, far, interpret=not use_pallas
         )
@@ -129,6 +162,6 @@ def sharded_nmi_search_mesh(
             synth, warped_rep, metric=metric, use_pallas=use_pallas
         )
 
-    scores = eval_shard(offsets_p, warped)
+    scores = eval_shard(offsets_p, Hs)
     valid = (jnp.arange(S_pad) < S)[:, None]
-    return jnp.where(valid, scores, -jnp.inf)[:S]
+    return jnp.where(valid, scores, -jnp.inf)[:S, :R]

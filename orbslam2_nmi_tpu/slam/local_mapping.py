@@ -139,21 +139,121 @@ class LocalMapper:
     # ------------------------------------------------------- new map points
 
     def _create_new_map_points(self, k: int, abort_fn=None):
-        """CreateNewMapPoints (LocalMapping.cc:210). Aborts between neighbor
-        pairs when a newer keyframe is queued (the reference's
-        CheckNewKeyFrames() poll inside the neighbor loop, LocalMapping.cc:224)."""
-        neighbors = self.map.best_covisible(k, 20)
+        """CreateNewMapPoints (LocalMapping.cc:210), batched: ONE epipolar-
+        match dispatch + ONE triangulation dispatch covering every usable
+        neighbor pair (matching.match_epipolar_batch /
+        triangulate.triangulate_and_gate_batch). The reference polls
+        CheckNewKeyFrames() between neighbors (LocalMapping.cc:224) to abort;
+        here the whole fan costs two dispatches, so the abort check runs
+        before the device work and once after."""
+        m = self.map
         ck = self._center(k)
-        created = 0
-        for kn in neighbors:
-            if abort_fn and abort_fn():
-                break
+        pairs = []
+        for kn in self.map.best_covisible(k, 20):
             kn = int(kn)
             baseline = float(np.linalg.norm(self._center(kn) - ck))
             med_depth = self._median_depth(kn)
             if med_depth <= 0 or baseline / med_depth < 0.01:
                 continue
-            created += self._triangulate_pair(k, kn)
+            if (m.kf_feat_valid[kn] & (m.kf_mp_idx[kn] < 0)).sum() >= 5:
+                pairs.append(kn)
+        free1 = m.kf_feat_valid[k] & (m.kf_mp_idx[k] < 0)
+        if not pairs or free1.sum() < 5 or (abort_fn and abort_fn()):
+            return
+
+        # ---- one epipolar-match dispatch across all pairs (pair axis padded
+        # to a bucket so the program compiles once per bucket, not per count)
+        sigma2 = 1.0 / self.inv_sigma2
+        N = len(pairs)
+        NP = 1
+        while NP < N:
+            NP *= 2
+        F = m.kf_feat_desc.shape[1]
+        pad_pairs = pairs + [pairs[0]] * (NP - N)
+        desc2 = m.kf_feat_desc[pad_pairs]
+        free2 = m.kf_feat_valid[pad_pairs] & (m.kf_mp_idx[pad_pairs] < 0)
+        free2[N:] = False  # padding pairs match nothing
+        xy2 = m.kf_feat_xy[pad_pairs]
+        F12 = np.stack(
+            [self._fundamental(k, kn) for kn in pad_pairs]
+        ).astype(np.float32)
+        s2 = sigma2[m.kf_feat_octave[pad_pairs]].astype(np.float32)
+        idx_b = np.asarray(
+            matching.match_epipolar_batch(
+                jnp.asarray(m.kf_feat_desc[k]),
+                jnp.asarray(np.broadcast_to(free1, (NP, F)).copy()),
+                jnp.asarray(m.kf_feat_xy[k]),
+                jnp.asarray(desc2),
+                jnp.asarray(free2),
+                jnp.asarray(xy2),
+                jnp.asarray(F12),
+                jnp.asarray(s2),
+            )
+        )[:N]  # [N, F] match into each neighbor
+
+        # ---- one triangulation dispatch across all matched pairs
+        f1_list = [np.nonzero(idx_b[i] >= 0)[0] for i in range(N)]
+        n_max = max((len(f) for f in f1_list), default=0)
+        if n_max == 0:
+            return
+        nb = bucket(n_max)
+        uv1 = np.zeros((NP, nb, 2), np.float32)
+        uv2 = np.zeros((NP, nb, 2), np.float32)
+        s1g = np.ones((NP, nb), np.float32)
+        s2g = np.ones((NP, nb), np.float32)
+        vmask = np.zeros((NP, nb), bool)
+        for i, kn in enumerate(pairs):
+            f1s = f1_list[i]
+            f2s = idx_b[i, f1s]
+            nn = len(f1s)
+            uv1[i, :nn] = m.kf_feat_xy[k][f1s]
+            uv2[i, :nn] = m.kf_feat_xy[kn][f2s]
+            s1g[i, :nn] = self.inv_sigma2[m.kf_feat_octave[k, f1s]]
+            s2g[i, :nn] = self.inv_sigma2[m.kf_feat_octave[kn, f2s]]
+            vmask[i, :nn] = True
+        tri = triangulate.triangulate_and_gate_batch(
+            jnp.asarray(self.K),
+            jnp.asarray(m.kf_Tcw[k]),
+            jnp.asarray(m.kf_Tcw[pad_pairs]),
+            jnp.asarray(uv1),
+            jnp.asarray(uv2),
+            jnp.asarray(s1g),
+            jnp.asarray(s2g),
+            jnp.asarray(vmask),
+        )
+        ok_b = np.asarray(tri.valid)
+        pts_b = np.asarray(tri.points_w)
+
+        # ---- host insertion (same gates + bookkeeping as the per-pair path)
+        sf = self.cfg.orb.scale_factor
+        created = 0
+        for i, kn in enumerate(pairs):
+            f1s = f1_list[i]
+            nn = len(f1s)
+            if nn == 0:
+                continue
+            f2s = idx_b[i, f1s]
+            ok = ok_b[i, :nn].copy()
+            pts = pts_b[i, :nn]
+            # scale consistency (LocalMapping.cc ratioDist vs ratioOctave, 1.5)
+            d1 = np.linalg.norm(pts - ck, axis=-1)
+            d2 = np.linalg.norm(pts - self._center(kn), axis=-1)
+            ratio_dist = d2 / np.maximum(d1, 1e-9)
+            ratio_oct = sf ** (
+                m.kf_feat_octave[k, f1s].astype(np.float32)
+                - m.kf_feat_octave[kn, f2s].astype(np.float32)
+            )
+            ok &= (ratio_dist < ratio_oct * sf * 1.5) & (ratio_dist * sf * 1.5 > ratio_oct)
+            for j in np.nonzero(ok)[0]:
+                f1, f2 = int(f1s[j]), int(f2s[j])
+                if m.kf_mp_idx[k, f1] >= 0 or m.kf_mp_idx[kn, f2] >= 0:
+                    continue
+                p = m.add_map_point(pts[j], m.kf_feat_desc[k, f1], k, np.zeros(3, np.float32))
+                m.add_observation(k, f1, p)
+                m.add_observation(kn, f2, p)
+                m.update_point_stats(p, self.K, sf, self.cfg.orb.n_levels)
+                self.recent_points.append((p, k))
+                created += 1
         if created:
             self.log(f"KF {k}: created {created} map points")
 
@@ -223,12 +323,88 @@ class LocalMapper:
     # ----------------------------------------------------------------- fuse
 
     def _fuse_neighbors(self, k: int):
-        """SearchInNeighbors: project this KF's points into neighbors (and back)
-        and merge duplicates."""
+        """SearchInNeighbors (LocalMapping.cc SearchInNeighbors): project this
+        KF's points into neighbors (and back) and merge duplicates — all
+        (src, dst) directions matched in ONE device dispatch
+        (matching.fuse_match_batch), mutations applied sequentially on the
+        host afterwards. The per-direction matches are computed against the
+        pre-fuse map state; stale entries (a point replaced by an earlier
+        direction's merge) are dropped by the validity guards at apply time —
+        the same tolerance the reference's MapPoint::Replace forwarding gives
+        its sequential loop."""
+        m = self.map
         neighbors = [int(x) for x in self.map.best_covisible(k, 10)]
-        for kn in neighbors:
-            self._fuse_into(k, kn)
-            self._fuse_into(kn, k)
+        directions = [(k, kn) for kn in neighbors] + [(kn, k) for kn in neighbors]
+
+        jobs = []  # (k_src, k_dst, src_ps, proj)
+        for k_src, k_dst in directions:
+            src_ps = np.unique(m.kf_mp_idx[k_src])
+            src_ps = src_ps[src_ps >= 0]
+            src_ps = src_ps[m.mp_valid[src_ps]]
+            if len(src_ps) == 0:
+                continue
+            Tcw = m.kf_Tcw[k_dst]
+            pts = m.mp_pos[src_ps]
+            pc = (Tcw[:3, :3] @ pts.T).T + Tcw[:3, 3]
+            z = pc[:, 2]
+            zs = np.where(np.abs(z) > 1e-9, z, 1e-9)
+            u = self.K[0, 0] * pc[:, 0] / zs + self.K[0, 2]
+            v = self.K[1, 1] * pc[:, 1] / zs + self.K[1, 2]
+            vis = (
+                (z > 0)
+                & (u >= 0)
+                & (u < self.cfg.camera.width)
+                & (v >= 0)
+                & (v < self.cfg.camera.height)
+            )
+            src_ps = src_ps[vis]
+            if len(src_ps) == 0:
+                continue
+            jobs.append((k_src, k_dst, src_ps, np.stack([u[vis], v[vis]], -1)))
+        if jobs:
+            P = len(jobs)
+            PP = 1
+            while PP < P:
+                PP *= 2
+            nb = bucket(max(len(j[2]) for j in jobs))
+            F = m.kf_feat_desc.shape[1]
+            desc_src = np.zeros((PP, nb, 8), np.uint32)
+            valid_src = np.zeros((PP, nb), bool)
+            proj = np.zeros((PP, nb, 2), np.float32)
+            desc_dst = np.zeros((PP, F, 8), np.uint32)
+            valid_dst = np.zeros((PP, F), bool)
+            xy_dst = np.zeros((PP, F, 2), np.float32)
+            for i, (k_src, k_dst, src_ps, pj) in enumerate(jobs):
+                n = len(src_ps)
+                desc_src[i, :n] = m.mp_desc[src_ps]
+                valid_src[i, :n] = True
+                proj[i, :n] = pj
+                desc_dst[i] = m.kf_feat_desc[k_dst]
+                valid_dst[i] = m.kf_feat_valid[k_dst]
+                xy_dst[i] = m.kf_feat_xy[k_dst]
+            idx_b = np.asarray(
+                matching.fuse_match_batch(
+                    jnp.asarray(desc_src), jnp.asarray(valid_src),
+                    jnp.asarray(proj), jnp.asarray(desc_dst),
+                    jnp.asarray(valid_dst), jnp.asarray(xy_dst),
+                )
+            )
+            for i, (k_src, k_dst, src_ps, _) in enumerate(jobs):
+                idx = idx_b[i, : len(src_ps)]
+                for j in np.nonzero(idx >= 0)[0]:
+                    p = int(src_ps[j])
+                    f = int(idx[j])
+                    if not m.mp_valid[p]:
+                        continue  # replaced by an earlier direction's merge
+                    existing = int(m.kf_mp_idx[k_dst, f])
+                    if existing < 0:
+                        m.add_observation(k_dst, f, p)
+                    elif existing != p and m.mp_valid[existing]:
+                        # keep the better-observed point (MapPoint::Replace)
+                        if m.mp_obs_n[existing] >= m.mp_obs_n[p]:
+                            m.replace_map_point(p, existing)
+                        else:
+                            m.replace_map_point(existing, p)
         self._refresh_point_stats(k)
 
     def _fuse_into(self, k_src: int, k_dst: int, radius: float = 3.0):

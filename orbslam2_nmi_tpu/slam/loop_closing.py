@@ -112,7 +112,9 @@ class LoopCloser:
         cands = self.db.detect_loop_candidates(self.map, k, words, weights, min_score)
         if not cands:
             self.consistent_groups = []
+            self.log(f"KF {k}: loop detect — no DB candidates (min_score {min_score:.4f})")
             return []
+        self.log(f"KF {k}: loop detect — raw candidates {cands}")
 
         # covisibility consistency over consecutive keyframes
         enough: list[int] = []

@@ -32,33 +32,51 @@ SEQ_VERSION = 4
 
 
 def sequence_cache_path(n_frames: int, width: int, height: int, seed: int,
-                        n_total: int = None) -> str:
+                        n_total: int = None, domain_gap: bool = False) -> str:
     d = os.environ.get("ORBSLAM2_NMI_TPU_SEQ_CACHE", "/tmp/orbslam2_nmi_tpu_seq")
     os.makedirs(d, exist_ok=True)
     tot = f"of{n_total}_" if n_total and n_total != n_frames else ""
+    dg = "dg_" if domain_gap else ""
     return os.path.join(
-        d, f"seq_v{SEQ_VERSION}_{seed}_{tot}{n_frames}x{width}x{height}.npy"
+        d, f"seq_v{SEQ_VERSION}_{seed}_{dg}{tot}{n_frames}x{width}x{height}.npy"
     )
 
 
 def generate_sequence(n_frames: int = 520, width: int = 960, height: int = 540,
-                      seed: int = 1, cache: bool = True, n_total: int = None):
+                      seed: int = 1, cache: bool = True, n_total: int = None,
+                      domain_gap: bool = False):
     """Returns (world, frames uint8 [N, H, W]).
 
     `n_total` renders a PREFIX of an n_total-frame circuit (same per-frame
     motion as the full sequence) — the trajectory cadence to pass along to
     run_replay(n_total=...).
+
+    `domain_gap=True` renders the CAMERA imagery from a sun-shaded copy of
+    the terrain plus a screen-space degradation stack (exposure drift,
+    vignette, gamma, sensor noise — io/synthetic.apply_photometric_gap) while
+    the returned `world` keeps the FLAT texture the NMI prior localizes
+    against: the live-imagery-vs-prior-model photometric mismatch the
+    reference's mutual-information design exists for (README.md:1-76).
     """
-    from orbslam2_nmi_tpu.io.synthetic import SyntheticMeshWorld
+    import dataclasses as _dc
+
+    from orbslam2_nmi_tpu.io.synthetic import (
+        SyntheticMeshWorld, apply_photometric_gap,
+    )
 
     n_total = n_total or n_frames
     world = SyntheticMeshWorld.generate(seed=seed)
-    path = sequence_cache_path(n_frames, width, height, seed, n_total)
+    path = sequence_cache_path(n_frames, width, height, seed, n_total, domain_gap)
     if cache and os.path.exists(path):
         frames = np.load(path)
         if frames.shape == (n_frames, height, width):
             return world, frames
-    frames = world.render_frames(list(range(n_frames)), n_total, width, height)
+    render_world = (
+        _dc.replace(world, mesh=world.lit_mesh()) if domain_gap else world
+    )
+    frames = render_world.render_frames(list(range(n_frames)), n_total, width, height)
+    if domain_gap:
+        frames = apply_photometric_gap(frames, seed=seed)
     if cache:
         tmp = path[: -len(".npy")] + f".tmp{os.getpid()}.npy"
         np.save(tmp, frames)
@@ -124,7 +142,8 @@ def build_system(world, width: int, height: int, n_features: int = 2000,
 def run_replay(world, frames, use_nmi: bool = True, async_mapping: bool = True,
                n_features: int = 2000, n_levels: int = 8, warmup: int = 24,
                output_dir=None, n_total: int = None, pipelined: bool = False,
-               pipeline_lag: int = 1) -> dict:
+               pipeline_lag: int = 1, threshold: float = 0.45,
+               async_nmi: bool = None) -> dict:
     """Track every frame through the full pipeline; return fps + ATE metrics.
 
     `warmup` frames are excluded from the fps numbers (XLA compiles on first
@@ -145,6 +164,7 @@ def run_replay(world, frames, use_nmi: bool = True, async_mapping: bool = True,
     sys_ = build_system(
         world, width, height, n_features=n_features, n_levels=n_levels,
         use_nmi=use_nmi, async_mapping=async_mapping, output_dir=output_dir,
+        threshold=threshold, async_nmi=async_nmi,
     )
     sys_.set_init_poses(
         world.pose_at(0, n_total), world.pose_at(sys_.cfg.nmi.offset, n_total)
@@ -239,15 +259,24 @@ def main():
     p.add_argument("--sync", action="store_true", help="synchronous mapping")
     p.add_argument("--pipelined", action="store_true",
                    help="fused device-resident front-end (lag-1 pipeline)")
+    p.add_argument("--domain-gap", action="store_true",
+                   help="camera imagery photometrically divergent from the "
+                        "NMI prior (lit mesh + exposure/vignette/noise); "
+                        "reference-like accept threshold 0.1")
     args = p.parse_args()
     world, frames = generate_sequence(
-        args.frames, args.width, args.height, n_total=args.total
+        args.frames, args.width, args.height, n_total=args.total,
+        domain_gap=args.domain_gap,
     )
     out = run_replay(
         world, frames, use_nmi=not args.no_nmi, async_mapping=not args.sync,
         n_features=args.features, n_levels=args.levels,
         n_total=args.total or args.frames, pipelined=args.pipelined,
+        # ETH_small.yaml:75 NMI.Treshold=0.1 — directly applicable once the
+        # imagery no longer matches the prior photometrically
+        threshold=0.1 if args.domain_gap else 0.45,
     )
+    out["domain_gap"] = args.domain_gap
     import json
 
     print(json.dumps(out, indent=2))

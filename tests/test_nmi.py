@@ -160,6 +160,45 @@ def test_bg_mask_changes_scores_on_partial_coverage():
     assert s_unmasked[0, 0] < s_masked[0, 0]
 
 
+def test_suc_beats_correlation_across_photometric_gap():
+    """The reason the fork scores mutual information instead of SSD/NCC
+    (reference NMI.cu:230-363, README.md:1-76): under a cross-modal intensity
+    remap (live sensor vs prior-model texture), correlation collapses at the
+    CORRECT pose while SUC still ranks correct > wrong. Pins the separation."""
+    rng = np.random.default_rng(3)
+
+    def blocks(n_block, amp, size=128):
+        r = rng.uniform(0, amp, (n_block, n_block))
+        return np.kron(r, np.ones((size // n_block, size // n_block)))
+
+    prior_correct = (20.0 + blocks(32, 90) + blocks(8, 90)).clip(0, 255)
+    prior_wrong = np.roll(prior_correct, (9, 13), axis=(0, 1))  # misaligned
+
+    # cross-modal camera image: bijective but NON-monotonic intensity remap
+    # of the correctly-aligned scene + sensor noise (thermal-vs-visible
+    # analogue). MI is invariant to bijective remaps; correlation is not.
+    remap = (np.arange(256) * 97 + 31) % 256  # bijective (97 coprime to 256)
+    cam = remap[prior_correct.astype(np.int64)].astype(np.float32)
+    cam = np.clip(cam + rng.normal(0, 2.0, cam.shape), 0, 255)
+
+    synth = jnp.asarray(np.stack([prior_correct, prior_wrong]).astype(np.float32))
+    s = np.asarray(histogram_nmi.nmi_scores(synth, jnp.asarray(cam)[None], use_pallas=False))
+
+    def ncc(a, b):
+        a = a.ravel() - a.mean()
+        b = b.ravel() - b.mean()
+        return float(a @ b / np.sqrt((a @ a) * (b @ b) + 1e-9))
+
+    ncc_correct = ncc(prior_correct, cam)
+    ncc_wrong = ncc(prior_wrong, cam)
+    # SUC: clear separation in favor of the correct pose
+    assert s[0, 0] > 1.5 * s[1, 0], (s[0, 0], s[1, 0])
+    assert s[0, 0] > 0.1  # reference-like accept threshold clears
+    # correlation: no usable signal at the correct pose
+    assert abs(ncc_correct) < 0.15, ncc_correct
+    assert ncc_correct < ncc_wrong + 0.1  # cannot rank the poses
+
+
 def test_pallas_kernel_handles_padding():
     rng = np.random.default_rng(5)
     P = 1000  # not a chunk multiple
