@@ -79,7 +79,7 @@ class SyntheticWorld:
 
 
 def terrain_mesh(seed: int = 0, n: int = 190, extent=(40.0, 30.0), base_z: float = 15.0,
-                 relief: float = 3.0):
+                 relief: float = 3.0, marks: int = 0):
     """Textured undulating height-field mesh: 2(n-1)^2 triangles with a
     multi-scale random-block 512x512 texture — piecewise-constant regions give
     descriptors that are REPEATABLE under sub-pixel view shifts (per-texel
@@ -112,6 +112,23 @@ def terrain_mesh(seed: int = 0, n: int = 190, extent=(40.0, 30.0), base_z: float
         return np.kron(r, np.ones((512 // n_block, 512 // n_block)))
 
     tex = (15.0 + _blocks(128, 95) + _blocks(64, 75) + _blocks(16, 60)).clip(10, 245)
+    if marks:
+        # distinctive landmarks: random rotated elliptical patches that break
+        # the axis-aligned block texture's self-similarity — without them
+        # every FAST corner is a block corner and place recognition aliases
+        # across the whole terrain (loop-closure candidates become noise)
+        yy, xx = np.mgrid[0:512, 0:512].astype(np.float32)
+        for _ in range(marks):
+            cx, cy = rng.uniform(10, 502, 2)
+            a, b = rng.uniform(3.0, 12.0, 2)
+            th = rng.uniform(0, np.pi)
+            g = rng.uniform(0, 255)
+            dx, dy = xx - cx, yy - cy
+            u = dx * np.cos(th) + dy * np.sin(th)
+            v = -dx * np.sin(th) + dy * np.cos(th)
+            inside = (u / a) ** 2 + (v / b) ** 2 < 1.0
+            tex[inside] = g
+        tex = tex.clip(10, 245)
     return MeshModel(vertices=verts, uvs=uvs, faces=faces,
                      texture_gray=tex.astype(np.float32))
 
@@ -133,6 +150,21 @@ class SyntheticMeshWorld:
     @staticmethod
     def generate(seed: int = 0, n_grid: int = 190) -> "SyntheticMeshWorld":
         return SyntheticMeshWorld(mesh=terrain_mesh(seed=seed, n=n_grid))
+
+    @staticmethod
+    def generate_wide(seed: int = 0, n_grid: int = 190) -> "SyntheticMeshWorld":
+        """Loop-closure variant: a LARGE circuit under a NARROWER field of
+        view (fx=700 -> ~+-10 m ground footprint at 15 m altitude vs a
+        32x18 m ellipse), so opposite arcs of the circuit see DISJOINT
+        terrain and the revisit at the end is a true loop closure — on the
+        standard circuit the footprint covers the whole ellipse and every
+        keyframe stays covisible with every other (nothing for LoopClosing
+        to do). Radii/focal chosen to keep per-frame optical flow ~7 px so
+        the standard matching windows hold."""
+        return SyntheticMeshWorld(
+            mesh=terrain_mesh(seed=seed, n=n_grid, marks=500),
+            fx=700.0, radius_x=16.0, radius_y=9.0, overlap=0.15,
+        )
 
     def camera_K(self, width: int, height: int) -> np.ndarray:
         return np.array(

@@ -246,7 +246,18 @@ class LocalMapper:
             ok &= (ratio_dist < ratio_oct * sf * 1.5) & (ratio_dist * sf * 1.5 > ratio_oct)
             for j in np.nonzero(ok)[0]:
                 f1, f2 = int(f1s[j]), int(f2s[j])
-                if m.kf_mp_idx[k, f1] >= 0 or m.kf_mp_idx[kn, f2] >= 0:
+                if m.kf_mp_idx[kn, f2] >= 0:
+                    continue
+                existing = int(m.kf_mp_idx[k, f1])
+                if existing >= 0:
+                    # the same new-KF feature matched (and passed the
+                    # triangulation gates) in an EARLIER pair this round:
+                    # that is a third view of the same landmark — bind it as
+                    # an extra observation instead of dropping the match
+                    # (the sequential reference reaches the same state one
+                    # step later through SearchInNeighbors' fuse)
+                    if m.mp_valid[existing]:
+                        m.add_observation(kn, f2, existing)
                     continue
                 p = m.add_map_point(pts[j], m.kf_feat_desc[k, f1], k, np.zeros(3, np.float32))
                 m.add_observation(k, f1, p)

@@ -172,6 +172,7 @@ class LoopCloser:
         idx = np.asarray(idx)
         f1 = np.nonzero(idx >= 0)[0]
         if len(f1) < 20:  # LoopClosing.cc:273 nmatches<20
+            self.log(f"KF {k}: Sim3 to {cand} rejected ({len(f1)} raw matches)")
             return False, None, None, None
         f2 = idx[f1]
         T1 = m.kf_Tcw[k]
@@ -200,6 +201,10 @@ class LoopCloser:
             min_inliers=20,
         )
         if not bool(res.ok):
+            self.log(
+                f"KF {k}: Sim3 to {cand} rejected (RANSAC, {len(f1)} matches, "
+                f"{int(np.asarray(res.inliers).sum())} best inliers)"
+            )
             return False, None, None, None
         S12 = np.asarray(res.S12).astype(np.float32)
 

@@ -68,6 +68,47 @@ def harvest_sequence(seq_dir: str, max_frames: int, n_features: int):
     return np.concatenate(out)
 
 
+def ensure_circuit_vocabulary(k: int = 10, depth: int = 5, seed: int = 1,
+                              n_frames: int = 260, path: str = None) -> str:
+    """Train (once, cached) a reference-scale vocabulary from the synthetic
+    circuit's OWN imagery and return its path — the System.cc:87 flow: a big
+    pre-trained vocabulary loaded before tracking starts, instead of the
+    lazy few-thousand-word tree ensure_vocabulary falls back to. k=10/depth=5
+    gives up to 100k words (the reference's ORBvoc is k=10/depth=6, 1M; its
+    released blob is absent from this environment, .MISSING_LARGE_BLOBS)."""
+    import os
+
+    from orbslam2_nmi_tpu.tools import replay_bench
+
+    d = os.environ.get("ORBSLAM2_NMI_TPU_SEQ_CACHE", "/tmp/orbslam2_nmi_tpu_seq")
+    os.makedirs(d, exist_ok=True)
+    path = path or os.path.join(
+        d, f"voc_v{replay_bench.SEQ_VERSION}_k{k}d{depth}s{seed}_{n_frames}f.npz"
+    )
+    if os.path.exists(path):
+        return path
+
+    import jax.numpy as jnp
+
+    from orbslam2_nmi_tpu.config import ORBConfig
+    from orbslam2_nmi_tpu.ops.orb import extract_orb
+    from orbslam2_nmi_tpu.slam.vocabulary import Vocabulary
+
+    # harvest from every other frame of the cached 520-frame circuit
+    world, frames = replay_bench.generate_sequence(520, 960, 540, seed=seed)
+    cfg = ORBConfig(n_features=2000, n_levels=8)
+    out = []
+    for i in range(0, len(frames), max(1, len(frames) // n_frames)):
+        feats = extract_orb(jnp.asarray(frames[i]), cfg)
+        out.append(np.asarray(feats.desc)[np.asarray(feats.valid)])
+    descs = np.concatenate(out)
+    voc = Vocabulary.train(descs, k=k, depth=depth, seed=seed)
+    tmp = path[: -len(".npz")] + f".tmp{os.getpid()}.npz"
+    voc.save(tmp)
+    os.replace(tmp, path)
+    return path
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description="train an ORB vocabulary")
     ap.add_argument("--sequence", help="image sequence dir")

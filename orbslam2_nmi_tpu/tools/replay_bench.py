@@ -44,7 +44,7 @@ def sequence_cache_path(n_frames: int, width: int, height: int, seed: int,
 
 def generate_sequence(n_frames: int = 520, width: int = 960, height: int = 540,
                       seed: int = 1, cache: bool = True, n_total: int = None,
-                      domain_gap: bool = False):
+                      domain_gap: bool = False, circuit: str = "standard"):
     """Returns (world, frames uint8 [N, H, W]).
 
     `n_total` renders a PREFIX of an n_total-frame circuit (same per-frame
@@ -65,8 +65,15 @@ def generate_sequence(n_frames: int = 520, width: int = 960, height: int = 540,
     )
 
     n_total = n_total or n_frames
-    world = SyntheticMeshWorld.generate(seed=seed)
-    path = sequence_cache_path(n_frames, width, height, seed, n_total, domain_gap)
+    world = (
+        SyntheticMeshWorld.generate_wide(seed=seed)
+        if circuit == "wide"
+        else SyntheticMeshWorld.generate(seed=seed)
+    )
+    path = sequence_cache_path(
+        n_frames, width, height, seed + (1000 if circuit == "wide" else 0),
+        n_total, domain_gap,
+    )
     if cache and os.path.exists(path):
         frames = np.load(path)
         if frames.shape == (n_frames, height, width):
@@ -87,7 +94,8 @@ def generate_sequence(n_frames: int = 520, width: int = 960, height: int = 540,
 def build_system(world, width: int, height: int, n_features: int = 2000,
                  n_levels: int = 8, use_nmi: bool = True, async_mapping: bool = True,
                  max_keyframes: int = 512, output_dir=None, async_nmi: bool = None,
-                 threshold: float = 0.45):
+                 threshold: float = 0.45, vocabulary_path: str = "",
+                 max_frames: int = 30):
     import tempfile
 
     import jax.numpy as jnp
@@ -122,10 +130,11 @@ def build_system(world, width: int, height: int, n_features: int = 2000,
             coarse_scale=2,  # half-res coarse iterations, full-res final
         ),
         tracking=TrackingConfig(
-            max_frames=30, max_keyframes=max_keyframes,
+            max_frames=max_frames, max_keyframes=max_keyframes,
             max_map_points=max_keyframes * 256,
             max_features=max(2048, n_features + 48),
         ),
+        vocabulary_path=vocabulary_path,
     )
     return SLAMSystem(
         cfg,
@@ -143,7 +152,8 @@ def run_replay(world, frames, use_nmi: bool = True, async_mapping: bool = True,
                n_features: int = 2000, n_levels: int = 8, warmup: int = 24,
                output_dir=None, n_total: int = None, pipelined: bool = False,
                pipeline_lag: int = 1, threshold: float = 0.45,
-               async_nmi: bool = None) -> dict:
+               async_nmi: bool = None, vocabulary_path: str = "",
+               max_frames: int = 30) -> dict:
     """Track every frame through the full pipeline; return fps + ATE metrics.
 
     `warmup` frames are excluded from the fps numbers (XLA compiles on first
@@ -165,6 +175,7 @@ def run_replay(world, frames, use_nmi: bool = True, async_mapping: bool = True,
         world, width, height, n_features=n_features, n_levels=n_levels,
         use_nmi=use_nmi, async_mapping=async_mapping, output_dir=output_dir,
         threshold=threshold, async_nmi=async_nmi,
+        vocabulary_path=vocabulary_path, max_frames=max_frames,
     )
     sys_.set_init_poses(
         world.pose_at(0, n_total), world.pose_at(sys_.cfg.nmi.offset, n_total)

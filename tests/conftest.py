@@ -28,3 +28,64 @@ _cache_dir = os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+# ---------------------------------------------------------------------------
+# Fast/slow test tiers. The default run is the FAST tier (target: <= 2 min
+# with a warm compile cache) — the compile-heavy end-to-end and sharding
+# tests are marked slow and skipped unless requested:
+#
+#     pytest tests/                 # fast tier (default)
+#     pytest tests/ --runslow       # everything (CI / pre-release)
+#
+# The slow set is maintained here (by nodeid substring) so test files stay
+# annotation-free; entries chosen from measured --durations (> ~5 s warm).
+
+import pytest  # noqa: E402
+
+SLOW_TESTS = (
+    "test_nmi.py::test_mesh_world_nmi_self_consistency",
+    "test_nmi.py::test_localizer_recovers_translation",
+    "test_nmi.py::test_localizer_recovers_rotation",
+    "test_nmi.py::test_localizer_rejects_garbage",
+    "test_fused_track.py::test_async_nmi_anchor_lands",
+    "test_fused_track.py::test_pipelined_frontend_with_nmi",
+    "test_fused_track.py::test_pipelined_frontend_tracks_sequence",
+    "test_fused_track.py::test_fused_step_outputs_consistent",
+    "test_sharding.py::test_sharded_ba_matches_single_device",
+    "test_sharding.py::test_sharded_ba_fixed_cameras_pinned",
+    "test_sharding.py::test_sharded_nmi_matches_single_device",
+    "test_sharding.py::test_sharded_nmi_mesh_matches_single_device",
+    "test_distributed.py::test_two_process_pod_pose_graph",
+    "test_raster.py::test_localizer_mesh_path_recovers_translation",
+    "test_raster.py::test_matches_pointsplat_on_heightfield",
+    "test_orb.py::test_pyramid_sizes",
+    "test_slam_e2e.py::test_localization_only_mode",
+    "test_place_recognition.py::test_epnp_minimal_solver_exact",
+    "test_place_recognition.py::test_epnp_ransac_with_outliers",
+    "test_place_recognition.py::test_pnp_ransac_with_outliers",
+    "test_place_recognition.py::test_pose_graph_closes_loop",
+    "test_relocalization.py::test_relocalization_rejects_below_50",
+    "test_relocalization.py::test_relocalization_expands_to_50_inliers",
+    "test_loop_closing.py::test_loop_detected_and_corrected",
+    "test_ba.py::test_ba_converges_to_ground_truth",
+)
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="run the slow tier too (compile-heavy e2e/sharding tests)",
+    )
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: compile-heavy test, skipped by default")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow") or os.environ.get("ORBSLAM2_NMI_TPU_RUNSLOW"):
+        return
+    skip = pytest.mark.skip(reason="slow tier — pass --runslow to include")
+    for item in items:
+        if any(s in item.nodeid for s in SLOW_TESTS):
+            item.add_marker(skip)
