@@ -117,10 +117,12 @@ def terrain_mesh(seed: int = 0, n: int = 190, extent=(40.0, 30.0), base_z: float
         # the axis-aligned block texture's self-similarity — without them
         # every FAST corner is a block corner and place recognition aliases
         # across the whole terrain (loop-closure candidates become noise)
+        # small (a,b <= ~4 texels): big uniform blobs would starve FAST of
+        # corners in mark-dense views and break tracking outright
         yy, xx = np.mgrid[0:512, 0:512].astype(np.float32)
         for _ in range(marks):
             cx, cy = rng.uniform(10, 502, 2)
-            a, b = rng.uniform(3.0, 12.0, 2)
+            a, b = rng.uniform(1.2, 4.0, 2)
             th = rng.uniform(0, np.pi)
             g = rng.uniform(0, 255)
             dx, dy = xx - cx, yy - cy

@@ -44,11 +44,43 @@ from orbslam2_nmi_tpu.geometry import se3
 _HI = jax.lax.Precision.HIGHEST
 
 
-def _group_obs_by_point_shard(obs_pt: np.ndarray, n_dev: int, p_loc: int):
+def _balance_points(obs_pt: np.ndarray, P_n: int, n_dev: int):
+    """Assign points to shards balancing OBSERVATION counts (greedy LPT):
+    every shard's per-iteration work and padding is ~mean instead of the max
+    of a contiguous range (uneven landmark covisibility skews contiguous
+    ranges ~1.5x, which every other shard then pads and idles to).
+    Returns (shard_of [P_n], slot_of [P_n], p_loc)."""
+    import heapq
+
+    counts = np.bincount(obs_pt, minlength=P_n)
+    order = np.argsort(-counts, kind="stable")
+    p_loc = -(-P_n // n_dev)
+    shard_of = np.zeros(P_n, np.int64)
+    slot_of = np.zeros(P_n, np.int64)
+    fill = np.zeros(n_dev, np.int64)
+    heap = [(0, d) for d in range(n_dev)]
+    heapq.heapify(heap)
+    for p in order:
+        spill = []
+        while True:
+            load, d = heapq.heappop(heap)
+            if fill[d] < p_loc:
+                break
+            spill.append((load, d))
+        for item in spill:
+            heapq.heappush(heap, item)
+        shard_of[p] = d
+        slot_of[p] = fill[d]
+        fill[d] += 1
+        heapq.heappush(heap, (load + int(counts[p]), d))
+    return shard_of, slot_of, p_loc
+
+
+def _group_obs_by_point_shard(obs_pt: np.ndarray, shard_of: np.ndarray, n_dev: int):
     """Stable-sort observation slots so each device receives exactly the
     observations of its point shard. Returns (idx [n_dev, O_loc] source slot
     or -1 pad, O_loc)."""
-    shard = np.minimum(obs_pt // p_loc, n_dev - 1)
+    shard = shard_of[obs_pt]
     order = np.argsort(shard, kind="stable")
     counts = np.bincount(shard, minlength=n_dev)
     o_loc = max(int(counts.max()), 1)
@@ -73,11 +105,11 @@ def sharded_bundle_adjust(
     C = prob.cam_Tcw.shape[0]
     P_n = prob.pts_w.shape[0]
     O = prob.obs_cam.shape[0]
-    p_loc = -(-P_n // n_dev)
-    p_pad = p_loc * n_dev
 
     obs_pt_h = np.asarray(prob.obs_pt)
-    idx, o_loc = _group_obs_by_point_shard(obs_pt_h, n_dev, p_loc)
+    shard_of, slot_of, p_loc = _balance_points(obs_pt_h, P_n, n_dev)
+    p_pad = p_loc * n_dev
+    idx, o_loc = _group_obs_by_point_shard(obs_pt_h, shard_of, n_dev)
     safe = np.maximum(idx, 0).reshape(-1)
     pad_ok = (idx >= 0).reshape(-1)
 
@@ -87,10 +119,9 @@ def sharded_bundle_adjust(
             return np.where(pad_ok, out, fill)
         return np.where(pad_ok[:, None], out, fill)
 
-    shard_of_slot = np.repeat(np.arange(n_dev), o_loc)
     obs_cam_s = jnp.asarray(gather_obs(prob.obs_cam))
     obs_pt_s = jnp.asarray(
-        np.where(pad_ok, obs_pt_h[safe] - shard_of_slot * p_loc, 0).astype(np.int32)
+        np.where(pad_ok, slot_of[obs_pt_h[safe]], 0).astype(np.int32)
     )
     obs_uv_s = jnp.asarray(gather_obs(prob.obs_uv))
     obs_w_s = jnp.asarray(gather_obs(prob.obs_inv_sigma2, fill=1.0))
@@ -99,8 +130,14 @@ def sharded_bundle_adjust(
     ]
     obs_valid_s = jnp.asarray(gather_obs(obs_valid_full, fill=False))
 
-    pts_pad = jnp.zeros((p_pad, 3), prob.pts_w.dtype).at[:P_n].set(prob.pts_w)
-    ptsv_pad = jnp.zeros((p_pad,), bool).at[:P_n].set(prob.pts_valid)
+    # permuted point layout: global slot = shard_of * p_loc + slot_of
+    perm_pos = shard_of * p_loc + slot_of
+    pts_h = np.zeros((p_pad, 3), np.asarray(prob.pts_w).dtype)
+    pts_h[perm_pos] = np.asarray(prob.pts_w)
+    ptsv_h = np.zeros((p_pad,), bool)
+    ptsv_h[perm_pos] = np.asarray(prob.pts_valid)
+    pts_pad = jnp.asarray(pts_h)
+    ptsv_pad = jnp.asarray(ptsv_h)
 
     cam_free = (~prob.cam_fixed) & prob.cam_valid
 
@@ -256,7 +293,7 @@ def sharded_bundle_adjust(
     chi2[safe[pad_ok]] = np.asarray(chi2_s).reshape(-1)[pad_ok]
     return local_ba.BAResult(
         cam_Tcw=cam_out,
-        pts_w=pts_out[:P_n],
+        pts_w=pts_out[jnp.asarray(perm_pos)],  # un-permute the balanced layout
         obs_inlier=jnp.asarray(inlier),
         chi2=jnp.asarray(chi2),
     )

@@ -81,6 +81,13 @@ class MapStore:
         # observers notified on KF removal (the reference erases culled KFs
         # from KeyFrameDatabase inside SetBadFlag, KeyFrame.cc:504)
         self.on_keyframe_removed: list = []
+        # delayed-reuse queue of culled map-point slots: (slot, freed_at_kf).
+        # Long sequences churn points (culling + fuse); without reuse the
+        # bump allocator exhausts max_map_points on runs the reference
+        # (pointer-based, GC'd by delete) handles fine.
+        from collections import deque
+
+        self._mp_free: "deque[tuple[int, int]]" = deque()
         self._alloc()
 
     def clear(self):
@@ -91,6 +98,7 @@ class MapStore:
         self._alloc()
         self.n_keyframes = 0
         self.n_points = 0
+        self._mp_free.clear()
         self.epoch += 1
 
     def _alloc(self):
@@ -223,9 +231,18 @@ class MapStore:
         min_dist: float = 0.0, max_dist: float = np.inf,
     ) -> int:
         p = self.n_points
-        if p >= self.mp_valid.shape[0]:
-            raise RuntimeError("map point capacity exhausted")
-        self.n_points += 1
+        if p < self.mp_valid.shape[0]:
+            self.n_points += 1
+        else:
+            # bump space exhausted: recycle the oldest culled slot, but only
+            # after a quarantine of 4 keyframes since it was freed — live
+            # frame bindings to a removed point are validity-checked
+            # everywhere, and the quarantine keeps a recycled id from
+            # re-validating while any such stale binding can still exist
+            # (the front-end prunes its binding history well within 4 KFs)
+            if not self._mp_free or self._mp_free[0][1] + 4 > self.n_keyframes:
+                raise RuntimeError("map point capacity exhausted")
+            p = self._mp_free.popleft()[0]
         self.mp_pos[p] = pos
         self.mp_valid[p] = True
         self.mp_desc[p] = desc
@@ -278,11 +295,14 @@ class MapStore:
             self.mp_valid[p] = False
 
     def remove_map_point(self, p: int):
-        """MapPoint::SetBadFlag — erase from all observers."""
+        """MapPoint::SetBadFlag — erase from all observers. The slot enters
+        the delayed-reuse queue (see add_map_point)."""
         n = self.mp_obs_n[p]
         for k, f in zip(self.mp_obs_kf[p, :n].copy(), self.mp_obs_feat[p, :n].copy()):
             if k >= 0:
                 self.remove_observation(int(k), int(f))
+        if self.mp_valid[p]:
+            self._mp_free.append((int(p), int(self.n_keyframes)))
         self.mp_valid[p] = False
 
     def replace_map_point(self, old: int, new: int):

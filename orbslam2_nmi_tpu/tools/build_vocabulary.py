@@ -69,7 +69,8 @@ def harvest_sequence(seq_dir: str, max_frames: int, n_features: int):
 
 
 def ensure_circuit_vocabulary(k: int = 10, depth: int = 5, seed: int = 1,
-                              n_frames: int = 260, path: str = None) -> str:
+                              n_frames: int = 260, path: str = None,
+                              circuit: str = "standard") -> str:
     """Train (once, cached) a reference-scale vocabulary from the synthetic
     circuit's OWN imagery and return its path — the System.cc:87 flow: a big
     pre-trained vocabulary loaded before tracking starts, instead of the
@@ -82,8 +83,9 @@ def ensure_circuit_vocabulary(k: int = 10, depth: int = 5, seed: int = 1,
 
     d = os.environ.get("ORBSLAM2_NMI_TPU_SEQ_CACHE", "/tmp/orbslam2_nmi_tpu_seq")
     os.makedirs(d, exist_ok=True)
+    tag = "w" if circuit == "wide" else ""
     path = path or os.path.join(
-        d, f"voc_v{replay_bench.SEQ_VERSION}_k{k}d{depth}s{seed}_{n_frames}f.npz"
+        d, f"voc_v{replay_bench.SEQ_VERSION}_{tag}k{k}d{depth}s{seed}_{n_frames}f.npz"
     )
     if os.path.exists(path):
         return path
@@ -95,7 +97,9 @@ def ensure_circuit_vocabulary(k: int = 10, depth: int = 5, seed: int = 1,
     from orbslam2_nmi_tpu.slam.vocabulary import Vocabulary
 
     # harvest from every other frame of the cached 520-frame circuit
-    world, frames = replay_bench.generate_sequence(520, 960, 540, seed=seed)
+    world, frames = replay_bench.generate_sequence(
+        520, 960, 540, seed=seed, circuit=circuit
+    )
     cfg = ORBConfig(n_features=2000, n_levels=8)
     out = []
     for i in range(0, len(frames), max(1, len(frames) // n_frames)):

@@ -252,6 +252,62 @@ def run_replay(world, frames, use_nmi: bool = True, async_mapping: bool = True,
     return out
 
 
+def run_kidnap(world, frames, n_total: int, vocabulary_path: str = "",
+               build_n: int = 160, jump_to: int = 48, use_nmi: bool = True) -> dict:
+    """Kidnap-recovery scenario: build a map over frames [0, build_n), then
+    teleport the camera back to `jump_to` (fresh frame ids, broken velocity
+    model) — tracking must go LOST and recover through BoW+EPnP
+    relocalization against the keyframe database's inverted file
+    (Tracking::Relocalization, Tracking.cc:1596; candidates from
+    KeyFrameDatabase::DetectRelocalizationCandidates, KeyFrameDatabase.cc:202).
+    With `vocabulary_path` the candidates come from a pre-trained
+    reference-scale vocabulary (System.cc:87 flow) instead of the lazy
+    few-thousand-word tree."""
+    from orbslam2_nmi_tpu.slam.tracking import TrackingState
+
+    n_frames, height, width = frames.shape
+    sys_ = build_system(
+        world, width, height, use_nmi=use_nmi, async_mapping=False,
+        vocabulary_path=vocabulary_path,
+    )
+    sys_.set_init_poses(
+        world.pose_at(0, n_total), world.pose_at(sys_.cfg.nmi.offset, n_total)
+    )
+    for i in range(build_n):
+        sys_.track_monocular(frames[i], i / 30.0)
+    n_kf = int(sys_.map.n_keyframes)
+
+    # kidnap: resume from a much earlier place on the circuit
+    lost_seen = False
+    recovered_at = -1
+    err_m = float("inf")
+    for j in range(24):
+        fid = build_n + j
+        res = sys_.track_monocular(
+            frames[jump_to + j], fid / 30.0, frame_id=fid
+        )
+        if sys_.tracker.state == TrackingState.LOST:
+            lost_seen = True
+        if lost_seen and res.state == TrackingState.OK and res.Tcw is not None:
+            recovered_at = j
+            gt = world.pose_at(jump_to + j, n_total)
+            c_est = -res.Tcw[:3, :3].T @ res.Tcw[:3, 3]
+            c_gt = -gt[:3, :3].T @ gt[:3, 3]
+            err_m = float(np.linalg.norm(c_est - c_gt))
+            break
+    out = {
+        "vocabulary_words": (
+            sys_.vocabulary.n_words if sys_.vocabulary is not None else 0
+        ),
+        "n_keyframes": n_kf,
+        "lost_seen": lost_seen,
+        "recovered_after_frames": recovered_at,
+        "recovery_err_m": round(err_m, 4) if np.isfinite(err_m) else None,
+    }
+    sys_.shutdown()
+    return out
+
+
 def main():
     import argparse
 

@@ -6,6 +6,7 @@ frame's pose from its reference keyframe before motion-model tracking).
 """
 
 import numpy as np
+import pytest
 
 from orbslam2_nmi_tpu.config import CameraConfig, SystemConfig, TrackingConfig
 from orbslam2_nmi_tpu.slam.frame import FrameData
@@ -184,3 +185,51 @@ def test_need_new_keyframe_respects_mapper_idle():
     sysm.pipeline = _Pipe(False)
     assert not tr._need_new_keyframe(frame(5), n_inliers=200)
     assert not sysm.pipeline.interrupted
+
+
+def test_map_point_slot_recycling():
+    """Culled map-point slots re-enter service after a 4-keyframe quarantine
+    once the bump space is exhausted — long-sequence churn must not exhaust
+    max_map_points (the reference's pointer-based map has no such cap)."""
+    from orbslam2_nmi_tpu.config import CameraConfig, ORBConfig, SystemConfig, TrackingConfig
+    from orbslam2_nmi_tpu.slam.map_store import MapStore
+
+    cfg = SystemConfig(
+        camera=CameraConfig(fx=300, fy=300, cx=160, cy=120, width=320, height=240),
+        orb=ORBConfig(n_features=64, n_levels=2),
+        tracking=TrackingConfig(
+            max_frames=10, max_keyframes=16, max_map_points=8, max_features=64
+        ),
+    )
+    m = MapStore(cfg)
+    rng = np.random.default_rng(0)
+
+    def add_kf():
+        m.add_keyframe(
+            np.eye(4, dtype=np.float32), int(m.n_keyframes), 0.0,
+            np.zeros((64, 2), np.float32), np.zeros(64, np.int32),
+            np.zeros(64, np.float32),
+            rng.integers(0, 2**32, (64, 8), dtype=np.uint32), np.ones(64, bool),
+        )
+
+    def add_pt():
+        return m.add_map_point(
+            np.zeros(3, np.float32), np.zeros(8, np.uint32), 0, np.zeros(3, np.float32)
+        )
+
+    add_kf()
+    pts = [add_pt() for _ in range(8)]  # bump space full
+    m.remove_map_point(pts[0])
+    m.remove_map_point(pts[1])
+    # quarantine: freed this keyframe -> not yet reusable
+    with pytest.raises(RuntimeError):
+        add_pt()
+    for _ in range(4):
+        add_kf()
+    p = add_pt()  # oldest freed slot recycled
+    assert p == pts[0]
+    assert m.mp_valid[p]
+    q = add_pt()
+    assert q == pts[1]
+    with pytest.raises(RuntimeError):
+        add_pt()  # queue drained again
