@@ -190,6 +190,31 @@ def main():
     except Exception as e:  # keep the headline metric flowing regardless
         replay = {"error": f"{type(e).__name__}: {e}"}
 
+    # ---- photometric-domain-gap replay: camera imagery from a sun-shaded
+    # mesh + exposure/vignette/gamma/noise, NMI prior keeps the FLAT texture;
+    # accept threshold is the reference's 0.1 (ETH_small.yaml:75). This is
+    # the regime the mutual-information metric exists for.
+    dg = {}
+    try:
+        from orbslam2_nmi_tpu.tools import replay_bench
+
+        world, frames = replay_bench.generate_sequence(
+            160, W, H, n_total=520, domain_gap=True
+        )
+        out = replay_bench.run_replay(
+            world, frames, use_nmi=True, async_mapping=True, n_total=520,
+            pipelined=True, threshold=0.1,
+        )
+        dg = {
+            "domain_gap": True,
+            "threshold": 0.1,
+            "ate_rmse_m_unaligned": round(out["ate_rmse"], 4),
+            "n_tracked": out["n_tracked"],
+            "n_nmi_anchors": out.get("n_nmi_anchors"),
+        }
+    except Exception as e:
+        dg = {"error": f"{type(e).__name__}: {e}"}
+
     print(
         json.dumps(
             {
@@ -200,12 +225,14 @@ def main():
                     f"(mesh render {t_render*1e3:.0f}ms + warp {t_warp*1e3:.0f}ms + "
                     f"score {t_nmi*1e3:.0f}ms per 729-pair sweep; "
                     f"mode-4 pointcloud splat would be {t_splat*1e3:.0f}ms; "
-                    "render is fp32-exact since r3 — the earlier bf16 edge "
-                    "evaluation was ~2x faster but quantized edges by ~0.5px, "
-                    "capping the NMI anchor accuracy the whole fork exists for)"
+                    "r4 rasterizer: all edge/depth/UV planes per 128-triangle "
+                    "chunk as ONE bf16 MXU matmul via exact 3-way bf16 "
+                    "coefficient splits — beyond-f32 accuracy (~1e-3 px) at "
+                    "bf16 rates — plus per-tile windowed texture sampling)"
                 ),
                 "vs_baseline": round(evals_per_s / baseline_evals_per_s, 2),
                 "full_pipeline_replay": replay,
+                "domain_gap_replay": dg,
             }
         )
     )

@@ -137,7 +137,13 @@ class PipelinedFrontend:
 
     def _local_candidates(self):
         """Local-map candidate arrays from the most recently PROCESSED frame
-        (UpdateLocalKeyFrames/Points, Tracking.cc:1461-1486, one frame stale)."""
+        (UpdateLocalKeyFrames/Points, Tracking.cc:1461-1486, one frame stale).
+
+        When the local set exceeds the device capacity C, candidates are kept
+        in LOCAL-KEYFRAME order (reference keyframe + best covisibles first)
+        — a plain id truncation keeps the OLDEST map points, which on large
+        maps are behind the camera, and the fused step starves of in-view
+        candidates exactly when the map is biggest."""
         tr = self.tracker
         m = self.sys.map
         kfs = tr._local_keyframes(tr.last_frame)
@@ -145,10 +151,24 @@ class PipelinedFrontend:
         if len(kfs) == 0:
             ids = np.zeros(0, np.int64)
         else:
-            ids = np.unique(m.kf_mp_idx[kfs])
-            ids = ids[(ids >= 0) & m.mp_valid[np.maximum(ids, 0)]]
-            if len(ids) > C:
-                ids = ids[:C]
+            order = [tr.ref_kf] + [int(k) for k in kfs if int(k) != tr.ref_kf]
+            picked = np.full(m.mp_valid.shape[0], False)
+            out = []
+            n_got = 0
+            for k in order:
+                ps = m.kf_mp_idx[k]
+                ps = ps[ps >= 0]
+                ps = ps[m.mp_valid[ps] & ~picked[ps]]
+                if len(ps):
+                    picked[ps] = True
+                    out.append(ps)
+                    n_got += len(ps)
+                if n_got >= C:
+                    break
+            ids = (
+                np.concatenate(out)[:C].astype(np.int64)
+                if out else np.zeros(0, np.int64)
+            )
         k = len(ids)
         pts = np.zeros((C, 3), np.float32)
         desc = np.zeros((C, 8), np.uint32)
