@@ -102,13 +102,25 @@ class AsyncNMI:
             k, gray, Tcw, dist0, rot0, frame_id, epoch = job
             try:
                 loc = self.system.localizer
-                out = loc.relocalize_strategy(
-                    jnp.asarray(gray),
-                    Tcw,
-                    dist_since=tuple(dist0),
-                    rot_since=tuple(rot0),
-                    initializing=False,
-                )
+                # consecutive-failure widening (see Tracker.nmi_fail_streak):
+                # without it a drift beyond the +-2%-of-motion span can never
+                # re-enter the grid and failures cascade to divergence.
+                # search_scale is restored in finally; the only other writer
+                # is the (rare) synchronous re-init path, same discipline.
+                streak = self.system.tracker.nmi_fail_streak
+                widen = 1.0 + 0.75 * min(streak, 6)
+                saved_scale = loc.search_scale
+                try:
+                    loc.search_scale = saved_scale * widen
+                    out = loc.relocalize_strategy(
+                        jnp.asarray(gray),
+                        Tcw,
+                        dist_since=tuple(dist0),
+                        rot_since=tuple(rot0),
+                        initializing=False,
+                    )
+                finally:
+                    loc.search_scale = saved_scale
                 self._apply(k, out, dist0, rot0, frame_id, epoch)
             except Exception:  # pragma: no cover - surfaced via errors()
                 self._errors.append(traceback.format_exc())
@@ -141,9 +153,11 @@ class AsyncNMI:
                             tr.rot_since_nmi[ax] - rot0[ax], 0.0
                         )
                 self.n_applied += 1
+                tr.nmi_fail_streak = 0
             else:
                 sysm.map.kf_nmi_failed[k] = True
                 self.n_failed += 1
+                tr.nmi_fail_streak += 1
             # saver parity: the KF's trajectory row carries the pre-NMI poses
             # (System.cc:570-590 mvPreviousPoses)
             if out.previous_poses:

@@ -92,6 +92,12 @@ class Tracker:
         self.kfs_since_last_nmi: int = 0
         self.dist_since_nmi = np.zeros(3)
         self.rot_since_nmi = np.zeros(3)
+        # consecutive failed NMI relocalizations: each failure widens the
+        # next search window (the 2%-of-motion step sizing, Tracking.cc:2003,
+        # assumes ~1% drift — when real drift exceeds the +-1-step span the
+        # grid can never re-capture the pose and failures cascade; widening
+        # on failure is a pure extension that restores capture)
+        self.nmi_fail_streak: int = 0
         self.n_resets: int = 0
         # localization-only mode (System::ActivateLocalizationMode,
         # System.cc:298-310): map frozen, no keyframes/mapping; vo_mode is
@@ -1044,13 +1050,23 @@ class Tracker:
     def _run_nmi(self, frame: FrameData, initializing: bool) -> bool:
         if self.nmi is None:
             return False
-        out = self.nmi.relocalize_strategy(
-            jnp.asarray(self._gray.astype(np.float32)),
-            frame.Tcw,
-            dist_since=tuple(self.dist_since_nmi),
-            rot_since=tuple(self.rot_since_nmi),
-            initializing=initializing,
-        )
+        widen = 1.0
+        if not initializing and self.nmi_fail_streak:
+            widen = 1.0 + 0.75 * min(self.nmi_fail_streak, 6)
+        saved_scale = self.nmi.search_scale
+        try:
+            self.nmi.search_scale = saved_scale * widen
+            out = self.nmi.relocalize_strategy(
+                jnp.asarray(self._gray.astype(np.float32)),
+                frame.Tcw,
+                dist_since=tuple(self.dist_since_nmi),
+                rot_since=tuple(self.rot_since_nmi),
+                initializing=initializing,
+            )
+        finally:
+            self.nmi.search_scale = saved_scale
+        if not initializing:
+            self.nmi_fail_streak = 0 if out.relocalized else self.nmi_fail_streak + 1
         frame.previous_poses.extend(out.previous_poses)
         frame.Tcw = out.Tcw
         frame.nmi_relocalized = out.relocalized
@@ -1086,6 +1102,7 @@ class Tracker:
         self.kfs_since_last_nmi = 0
         self.dist_since_nmi[:] = 0.0
         self.rot_since_nmi[:] = 0.0
+        self.nmi_fail_streak = 0
         if self.local_mapper is not None:
             self.local_mapper.recent_points = []
         if self.system is not None and self.system.loop_closer is not None:

@@ -40,6 +40,7 @@ class _FakeNMI:
     def __init__(self, num_synth, num_warp):
         self.num_synth = num_synth
         self.num_warp = num_warp
+        self.search_scale = 1.0
 
     def relocalize_strategy(self, gray, Tcw, **kw):
         return NMIOutcome(
