@@ -47,6 +47,7 @@ SLOW_TESTS = (
     "test_nmi.py::test_localizer_recovers_translation",
     "test_nmi.py::test_localizer_recovers_rotation",
     "test_nmi.py::test_localizer_rejects_garbage",
+    "test_nmi.py::test_localizer_coarse_pyramid_recovers",
     "test_fused_track.py::test_async_nmi_anchor_lands",
     "test_fused_track.py::test_pipelined_frontend_with_nmi",
     "test_fused_track.py::test_pipelined_frontend_tracks_sequence",

@@ -364,6 +364,26 @@ def pose_error(Ta, Tb):
     return np.linalg.norm(d[:3]), np.linalg.norm(d[3:])
 
 
+def test_localizer_coarse_pyramid_recovers(localizer_setup):
+    """cfg.coarse_scale=2 (half-res coarse iterations + full-res <=3-cell
+    final pass) must still recover a one-grid-step perturbation, and the
+    reported accept score must be the FULL-resolution one."""
+    import dataclasses
+
+    loc, T_true, cam_img = localizer_setup
+    cfg2 = dataclasses.replace(loc.cfg, coarse_scale=2)
+    loc2 = NMILocalizer(cfg2, CAM, loc.model)
+    T_pert = T_true.copy()
+    T_pert[:3, 3] += np.array([0.3, 0.0, 0.0], np.float32)
+    out = loc2.relocalize_strategy(cam_img, T_pert, initializing=True)
+    t0, _ = pose_error(T_true, T_pert)
+    t1, _ = pose_error(T_true, out.Tcw)
+    assert out.relocalized
+    assert t1 < 0.6 * t0, (t0, t1)
+    # full-res final score: same regime as the single-resolution path (~>0.3)
+    assert out.nmi > loc2.cfg.threshold
+
+
 def test_localizer_recovers_translation(localizer_setup):
     loc, T_true, cam_img = localizer_setup
     T_pert = T_true.copy()
