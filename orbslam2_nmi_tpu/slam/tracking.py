@@ -98,6 +98,13 @@ class Tracker:
         # grid can never re-capture the pose and failures cascade; widening
         # on failure is a pure extension that restores capture)
         self.nmi_fail_streak: int = 0
+        # consecutive NMI-due keyframes skipped because the async worker was
+        # busy: at >=2 the frame loop applies BACKPRESSURE (waits for the
+        # in-flight sweep before proceeding) — when the tracker outruns the
+        # sweep latency, anchors land too sparsely and drift escapes the
+        # search window. The reference stalls for EVERY sweep; a bounded
+        # occasional stall is strictly better while guaranteeing cadence.
+        self.nmi_due_skips: int = 0
         self.n_resets: int = 0
         # localization-only mode (System::ActivateLocalizationMode,
         # System.cc:298-310): map frozen, no keyframes/mapping; vo_mode is
@@ -140,6 +147,12 @@ class Tracker:
     # ------------------------------------------------------------ per frame
 
     def process_frame(self, frame_id: int, timestamp: float, gray_u8: np.ndarray) -> TrackResult:
+        # NMI backpressure (see nmi_due_skips) — MUST run outside the map
+        # lock: the worker's apply phase takes it from its own thread
+        worker = getattr(self.system, "nmi_worker", None) if self.system else None
+        if worker is not None and self.nmi_due_skips >= 2 and worker.busy():
+            worker.flush(timeout=600.0)
+            self.nmi_due_skips = 0
         # feature extraction runs outside the map lock (Frame construction
         # precedes the Tracking.cc:377 mutex in the reference)
         self._gray = gray_u8
@@ -501,8 +514,10 @@ class Tracker:
                 # async: sweep runs off-thread, anchor lands on the KF later
                 attempted = self._submit_async_nmi(frame)
             if nmi_due and not attempted:
-                pass  # worker busy: counter stays due, next KF retries
+                self.nmi_due_skips += 1  # busy: counter stays due, next KF retries
             else:
+                if nmi_due:
+                    self.nmi_due_skips = 0
                 self.kfs_since_last_nmi += 1
                 if self.kfs_since_last_nmi >= self.cfg.nmi.reloc_frequency:
                     self.kfs_since_last_nmi = 0
