@@ -59,6 +59,16 @@ class PipelinedFrontend:
         inflight: deque = deque()  # (idx, packed_handle, ctx)
         i = 0
         while i < n or inflight:
+            # NMI backpressure, same rule as Tracker.process_frame: after >=2
+            # NMI-due keyframes skipped because the async worker was busy,
+            # wait the in-flight sweep out before tracking on — without this
+            # the fused loop outruns the sweep and anchors land too sparsely
+            # (the exact cadence failure the counter exists to bound). MUST
+            # run outside the map lock: the worker's apply phase takes it.
+            worker = getattr(self.sys, "nmi_worker", None)
+            if worker is not None and tr.nmi_due_skips >= 2 and worker.busy():
+                worker.flush(timeout=600.0)
+                tr.nmi_due_skips = 0
             fused_ok = (
                 tr.state == TrackingState.OK
                 and self._carry is not None
@@ -260,8 +270,12 @@ class PipelinedFrontend:
                 if nmi_due and worker is not None:
                     attempted = tr._submit_async_nmi(frame)
                 if nmi_due and not attempted:
-                    pass  # NMI worker busy: next keyframe retries
+                    # busy: counter stays due so the next keyframe retries, and
+                    # the skip feeds the >=2-skip backpressure in run()
+                    tr.nmi_due_skips += 1
                 else:
+                    if nmi_due:
+                        tr.nmi_due_skips = 0
                     tr.kfs_since_last_nmi += 1
                     if tr.kfs_since_last_nmi >= self.cfg.nmi.reloc_frequency:
                         tr.kfs_since_last_nmi = 0

@@ -88,6 +88,10 @@ class MapStore:
         from collections import deque
 
         self._mp_free: "deque[tuple[int, int]]" = deque()
+        # slots currently sitting in _mp_free — guards against double-queueing
+        # the same slot (remove_map_point after remove_observation already
+        # declared the point dead) which would hand one slot to two points
+        self._mp_free_queued: set = set()
         self._alloc()
 
     def clear(self):
@@ -99,6 +103,7 @@ class MapStore:
         self.n_keyframes = 0
         self.n_points = 0
         self._mp_free.clear()
+        self._mp_free_queued.clear()
         self.epoch += 1
 
     def _alloc(self):
@@ -243,6 +248,7 @@ class MapStore:
             if not self._mp_free or self._mp_free[0][1] + 4 > self.n_keyframes:
                 raise RuntimeError("map point capacity exhausted")
             p = self._mp_free.popleft()[0]
+            self._mp_free_queued.discard(p)
         self.mp_pos[p] = pos
         self.mp_valid[p] = True
         self.mp_desc[p] = desc
@@ -293,17 +299,27 @@ class MapStore:
                 self.covis[kk, k] -= 1
         if m == 0:
             self.mp_valid[p] = False
+            self._queue_free_slot(int(p))
+
+    def _queue_free_slot(self, p: int):
+        if p not in self._mp_free_queued:
+            self._mp_free_queued.add(p)
+            self._mp_free.append((p, int(self.n_keyframes)))
 
     def remove_map_point(self, p: int):
         """MapPoint::SetBadFlag — erase from all observers. The slot enters
-        the delayed-reuse queue (see add_map_point)."""
+        the delayed-reuse queue (see add_map_point). Liveness is captured
+        BEFORE dropping observations: removing the last observation marks
+        mp_valid False itself, so testing validity afterwards would leak
+        every slot whose point had >=1 observation (r4 ADVICE, medium)."""
+        was_live = bool(self.mp_valid[p]) or int(self.mp_obs_n[p]) > 0
         n = self.mp_obs_n[p]
         for k, f in zip(self.mp_obs_kf[p, :n].copy(), self.mp_obs_feat[p, :n].copy()):
             if k >= 0:
                 self.remove_observation(int(k), int(f))
-        if self.mp_valid[p]:
-            self._mp_free.append((int(p), int(self.n_keyframes)))
         self.mp_valid[p] = False
+        if was_live:
+            self._queue_free_slot(int(p))
 
     def replace_map_point(self, old: int, new: int):
         """MapPoint::Replace (MapPoint.cc:180): rebind observations to `new`."""

@@ -71,7 +71,11 @@ class AsyncNMI:
         rot_since: np.ndarray,
         frame_id: int,
     ) -> bool:
-        """Queue a sweep for keyframe k (False when one is already running)."""
+        """Queue a sweep for keyframe k (False when one is already running).
+        Called with the map lock held — all tracker state the sweep needs
+        (incl. the failure streak that sizes the widening) is snapshotted
+        HERE so the worker never reads mutable tracker/localizer state from
+        its own thread (r4 ADVICE race)."""
         with self._busy_lock:
             if self._busy:
                 return False
@@ -86,6 +90,7 @@ class AsyncNMI:
                 np.asarray(rot_since, np.float64).copy(),
                 int(frame_id),
                 self.system.map.epoch,
+                int(self.system.tracker.nmi_fail_streak),
             )
         )
         return True
@@ -99,28 +104,24 @@ class AsyncNMI:
             job = self.q.get()
             if job is None:
                 break
-            k, gray, Tcw, dist0, rot0, frame_id, epoch = job
+            k, gray, Tcw, dist0, rot0, frame_id, epoch, streak = job
             try:
                 loc = self.system.localizer
                 # consecutive-failure widening (see Tracker.nmi_fail_streak):
                 # without it a drift beyond the +-2%-of-motion span can never
-                # re-enter the grid and failures cascade to divergence.
-                # search_scale is restored in finally; the only other writer
-                # is the (rare) synchronous re-init path, same discipline.
-                streak = self.system.tracker.nmi_fail_streak
-                widen = 1.0 + 0.75 * min(streak, 6)
-                saved_scale = loc.search_scale
-                try:
-                    loc.search_scale = saved_scale * widen
-                    out = loc.relocalize_strategy(
-                        jnp.asarray(gray),
-                        Tcw,
-                        dist_since=tuple(dist0),
-                        rot_since=tuple(rot0),
-                        initializing=False,
-                    )
-                finally:
-                    loc.search_scale = saved_scale
+                # re-enter the grid and failures cascade to divergence. The
+                # streak was snapshotted under the map lock at submit time and
+                # the widening is passed per-call — no shared localizer state
+                # is mutated from this thread (r4 ADVICE race).
+                widen = 1.0 + 0.75 * min(streak, 6) if streak else 1.0
+                out = loc.relocalize_strategy(
+                    jnp.asarray(gray),
+                    Tcw,
+                    dist_since=tuple(dist0),
+                    rot_since=tuple(rot0),
+                    initializing=False,
+                    search_scale=widen,
+                )
                 self._apply(k, out, dist0, rot0, frame_id, epoch)
             except Exception:  # pragma: no cover - surfaced via errors()
                 self._errors.append(traceback.format_exc())
@@ -173,8 +174,15 @@ class AsyncNMI:
         if out.relocalized:
             # pull the neighborhood onto the fresh anchor (the sync path gets
             # this from the mapping worker processing the KF at the snapped
-            # pose; here the anchor landed after that BA ran)
-            sysm.local_mapper.local_bundle_adjust(k, epoch=epoch)
+            # pose; here the anchor landed after that BA ran). Routed through
+            # the mapping pipeline's single BA executor — running the solve on
+            # THIS thread raced with the mapping worker's own local BA: both
+            # snapshot/write-back under the lock but solve unlocked, so the
+            # later write-back clobbered the fresher poses (r4 ADVICE).
+            if sysm.pipeline is not None:
+                sysm.pipeline.insert_ba(k, epoch)
+            else:
+                sysm.local_mapper.local_bundle_adjust(k, epoch=epoch)
 
     # --------------------------------------------------------------- control
 

@@ -286,9 +286,16 @@ class NMILocalizer:
         dist_since: tuple[float, float, float] = (0.0, 0.0, 0.0),
         rot_since: tuple[float, float, float] = (0.0, 0.0, 0.0),
         initializing: bool = False,
+        search_scale: float | None = None,
     ) -> NMIOutcome:
         """Full coarse-to-fine NMI relocalization
-        (RelocalizeWithNMIStrategy, Tracking.cc:1987-2179)."""
+        (RelocalizeWithNMIStrategy, Tracking.cc:1987-2179).
+
+        `search_scale` widens the kernel steps for this call only (failure /
+        re-init widening). Callers on other threads MUST pass it explicitly
+        rather than mutating `self.search_scale` — the attribute remains as a
+        single-threaded default (r4 ADVICE: the async worker's temporary
+        mutation raced with the tracking thread's re-init path)."""
         cfg = self.cfg
         # --- kernel sizing (Tracking.cc:2001-2070)
         if dist_since[0] > 0.0:
@@ -299,9 +306,12 @@ class NMILocalizer:
             kernel = sk.initial_kernel_for_init(self.initial_kernel)
         else:
             kernel = dataclasses.replace(self.initial_kernel)
-        # re-initialization widening (tracking sets search_scale > 1 after
-        # failed re-latches; pure extension over the reference)
-        scale = getattr(self, "search_scale", 1.0)
+        # re-initialization / failure widening (pure extension over the
+        # reference): per-call argument wins, attribute is the legacy default
+        scale = (
+            search_scale if search_scale is not None
+            else getattr(self, "search_scale", 1.0)
+        )
         if scale != 1.0:
             kernel = dataclasses.replace(
                 kernel,

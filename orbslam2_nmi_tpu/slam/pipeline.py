@@ -68,6 +68,16 @@ class MappingPipeline:
             self._drained.clear()
         self.q.put(int(k))
 
+    def insert_ba(self, k: int, epoch: int):
+        """Queue a standalone local BA around keyframe k (the async NMI
+        worker's post-anchor pull-in). All local-BA device solves run on THIS
+        worker — two concurrent solvers whose write-backs interleave would
+        lose the later map state to results from a stale snapshot."""
+        with self._pending_lock:
+            self._pending += 1
+            self._drained.clear()
+        self.q.put(("ba", int(k), int(epoch)))
+
     def abort_requested(self) -> bool:
         """True when a newer keyframe is waiting or the tracker asked for an
         interrupt (mbAbortBA)."""
@@ -100,6 +110,10 @@ class MappingPipeline:
             try:
                 self._interrupt = False
                 sysm = self.system
+                if isinstance(k, tuple):  # ("ba", k, epoch) — post-anchor BA
+                    _, kk, epoch = k
+                    sysm.local_mapper.local_bundle_adjust(kk, epoch=epoch)
+                    continue
                 sysm.local_mapper.process_keyframe(k, abort_fn=self.abort_requested)
                 with sysm.map.lock:
                     if sysm.loop_closer is None:

@@ -270,14 +270,12 @@ class Tracker:
                 frame.Tcw = self._last_good_Tcw.copy()
                 # the camera keeps moving while we are down: widen the search
                 # span with every failed latch so the true pose re-enters the
-                # grid (pure extension — the reference has no re-init at all)
-                self.nmi.search_scale = 1.0 + 0.5 * min(self._reinit_fails, 8)
-                try:
-                    ok = self._run_nmi(frame, initializing=True)
-                finally:
-                    # without the finally, a raising _run_nmi would latch the
-                    # widened steps into every subsequent relocalization
-                    self.nmi.search_scale = 1.0
+                # grid (pure extension — the reference has no re-init at all);
+                # passed per-call, never latched into localizer state
+                ok = self._run_nmi(
+                    frame, initializing=True,
+                    search_scale=1.0 + 0.5 * min(self._reinit_fails, 8),
+                )
                 if not ok:
                     self._reinit_fails += 1
                     self.log(
@@ -1062,24 +1060,22 @@ class Tracker:
             frame.frame_id,
         )
 
-    def _run_nmi(self, frame: FrameData, initializing: bool) -> bool:
+    def _run_nmi(
+        self, frame: FrameData, initializing: bool, search_scale: float = 1.0
+    ) -> bool:
         if self.nmi is None:
             return False
         widen = 1.0
         if not initializing and self.nmi_fail_streak:
             widen = 1.0 + 0.75 * min(self.nmi_fail_streak, 6)
-        saved_scale = self.nmi.search_scale
-        try:
-            self.nmi.search_scale = saved_scale * widen
-            out = self.nmi.relocalize_strategy(
-                jnp.asarray(self._gray.astype(np.float32)),
-                frame.Tcw,
-                dist_since=tuple(self.dist_since_nmi),
-                rot_since=tuple(self.rot_since_nmi),
-                initializing=initializing,
-            )
-        finally:
-            self.nmi.search_scale = saved_scale
+        out = self.nmi.relocalize_strategy(
+            jnp.asarray(self._gray.astype(np.float32)),
+            frame.Tcw,
+            dist_since=tuple(self.dist_since_nmi),
+            rot_since=tuple(self.rot_since_nmi),
+            initializing=initializing,
+            search_scale=search_scale * widen,
+        )
         if not initializing:
             self.nmi_fail_streak = 0 if out.relocalized else self.nmi_fail_streak + 1
         frame.previous_poses.extend(out.previous_poses)

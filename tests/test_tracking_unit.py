@@ -234,3 +234,61 @@ def test_map_point_slot_recycling():
     assert q == pts[1]
     with pytest.raises(RuntimeError):
         add_pt()  # queue drained again
+
+
+def test_map_point_slot_recycling_with_observations():
+    """The practical case (r4 ADVICE, medium): every culled point in a real run
+    has >=1 observation, and dropping the last observation marks the point
+    invalid BEFORE remove_map_point's old liveness check ran — those slots
+    leaked. They must enter the free queue, exactly once, however the point
+    dies (explicit cull, rebinding steals the last observation, or double
+    remove)."""
+    from orbslam2_nmi_tpu.config import CameraConfig, ORBConfig, SystemConfig, TrackingConfig
+    from orbslam2_nmi_tpu.slam.map_store import MapStore
+
+    cfg = SystemConfig(
+        camera=CameraConfig(fx=300, fy=300, cx=160, cy=120, width=320, height=240),
+        orb=ORBConfig(n_features=64, n_levels=2),
+        tracking=TrackingConfig(
+            max_frames=10, max_keyframes=16, max_map_points=4, max_features=64
+        ),
+    )
+    m = MapStore(cfg)
+    rng = np.random.default_rng(1)
+
+    def add_kf():
+        m.add_keyframe(
+            np.eye(4, dtype=np.float32), int(m.n_keyframes), 0.0,
+            np.zeros((64, 2), np.float32), np.zeros(64, np.int32),
+            np.zeros(64, np.float32),
+            rng.integers(0, 2**32, (64, 8), dtype=np.uint32), np.ones(64, bool),
+        )
+
+    def add_pt():
+        return m.add_map_point(
+            np.zeros(3, np.float32), np.zeros(8, np.uint32), 0, np.zeros(3, np.float32)
+        )
+
+    add_kf()
+    add_kf()
+    pts = [add_pt() for _ in range(4)]  # bump space full
+    # every point observed from both keyframes (feature slot = point id)
+    for p in pts:
+        m.add_observation(0, p, p)
+        m.add_observation(1, p, p)
+    # cull an observed point -> slot must be queued despite remove_observation
+    # having cleared mp_valid first
+    m.remove_map_point(pts[0])
+    assert not m.mp_valid[pts[0]]
+    # double remove must not queue the slot twice
+    m.remove_map_point(pts[0])
+    # a point dying because a rebinding steals its last observation also frees
+    m.remove_observation(0, pts[1])
+    m.add_observation(1, pts[1], pts[2])  # steals pts[1]'s last observation
+    assert not m.mp_valid[pts[1]]
+    for _ in range(4):
+        add_kf()
+    a, b = add_pt(), add_pt()
+    assert {a, b} == {pts[0], pts[1]}
+    with pytest.raises(RuntimeError):
+        add_pt()  # exactly two slots were queued, no duplicates
