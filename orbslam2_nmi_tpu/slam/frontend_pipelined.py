@@ -22,6 +22,7 @@ map corrections (BA, NMI, loop) reach the device chain at the next reseed.
 
 from __future__ import annotations
 
+import time
 from collections import deque
 
 import jax.numpy as jnp
@@ -45,6 +46,18 @@ class PipelinedFrontend:
         self._carry_src = -1  # global frame id whose features the carry holds
         self._mp_hist: dict = {}  # frame id -> post-processing mp_idx array
         self._reseed = False
+        self._seen_version = -1  # map.version the carry was last anchored to
+        # optional diagnostic callback: hook(frame_id, FrameData, UnpackedStep)
+        # invoked after host processing of every fused frame (map lock NOT
+        # held) — used by tools/fused_probe.py to audit bindings against
+        # ground truth without touching the hot path
+        self.debug_hook = None
+        # frame id -> wall-clock completion time (time.perf_counter). A
+        # re-tracked frame overwrites its entry; deltas between consecutive
+        # completions are the REAL per-frame latencies — the frames where an
+        # NMI anchor lands or a keyframe/BA stalls show up in the tail
+        # (the reference times every frame, mono_ETH.cc:107-151)
+        self.completion_walls: dict = {}
 
     # ------------------------------------------------------------ main drive
 
@@ -115,6 +128,7 @@ class PipelinedFrontend:
             # classic path (init / lost / recovery / first frame after reseed)
             res = tr.process_frame(start_id + i, float(timestamps[i]), np.asarray(frames[i]))
             results[i] = res
+            self.completion_walls[start_id + i] = time.perf_counter()
             i += 1
             if (
                 res.state == TrackingState.OK
@@ -127,6 +141,7 @@ class PipelinedFrontend:
                     self._carry = fused_track.carry_from_frame(
                         tr.last_frame, self.sys.map, tr.velocity
                     )
+                    self._seen_version = self.sys.map.version
                 self._carry_src = start_id + i - 1
                 self._mp_hist[start_id + i - 1] = tr.last_frame.mp_idx.copy()
         return results
@@ -241,6 +256,27 @@ class PipelinedFrontend:
 
         with self.sys.map.lock:
             m = self.sys.map
+            if m.version != self._seen_version:
+                # An async map correction (BA write-back, NMI anchor, loop,
+                # culling) landed since this frame was dispatched: the device
+                # chain's pose and landmark positions predate it. Rebase the
+                # chain pose through the PREVIOUS processed frame — its Tcr
+                # was recorded before the landing, so UpdateLastFrame
+                # semantics (Tracking.cc:1020) recover its corrected pose and
+                # the delta transplants this frame onto the corrected map —
+                # then reseed the carry below. Without this, the stale chain
+                # fights the corrected candidate set in pose GN until the
+                # next keyframe (the r4 far-arc pose jumps: corrections land
+                # ~20 frames late through the tunnel-latency mapper, and
+                # every landing kicked the chain 0.3 m sideways).
+                prev = tr.last_frame
+                if prev is not None and prev.Tcw is not None and prev.Tcr is not None:
+                    T_old = prev.Tcw.copy()
+                    tr._update_last_frame(prev)
+                    delta = prev.Tcw @ np.linalg.inv(T_old)
+                    frame.Tcw = (delta @ frame.Tcw).astype(np.float32)
+                self._seen_version = m.version
+                self._reseed = True
             # visibility / found statistics (Tracking.cc:1412, :1438)
             if len(cand_ids):
                 vis = cand_ids[u.cand_in_view[: len(cand_ids)]]
@@ -295,6 +331,7 @@ class PipelinedFrontend:
                 tr._update_last_frame(frame)  # adopt BA/NMI-corrected anchor
                 self._carry = fused_track.carry_from_frame(frame, m, tr.velocity)
                 self._carry_src = self._start + idx
+                self._seen_version = m.version
                 self._reseed = False
 
         if (self._start + idx) % 10 == 0:
@@ -302,7 +339,10 @@ class PipelinedFrontend:
                 f"frame {self._start + idx}: fused n1={u.n_matches1} "
                 f"inl={u.n_inliers} cand={int(len(cand_ids))}"
             )
+        if self.debug_hook is not None:
+            self.debug_hook(self._start + idx, frame, u)
         results[idx] = TrackResult(
             TrackingState.OK, frame.Tcw, u.n_inliers, is_kf, nmi_reloc
         )
+        self.completion_walls[self._start + idx] = time.perf_counter()
         return "reseed" if reseed else True

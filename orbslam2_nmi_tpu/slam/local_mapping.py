@@ -74,6 +74,7 @@ class LocalMapper:
             # latency low matters more than an immediately-deduped map
             if not (abort_fn and abort_fn()):
                 self._fuse_neighbors(k)
+            self.map.bump_version()
         if self.map.n_keyframes > 2 and not (abort_fn and abort_fn()):
             self.local_bundle_adjust(k, epoch=epoch)
         with self.map.lock:
@@ -81,6 +82,7 @@ class LocalMapper:
                 return
             if self.enable_kf_culling:
                 self._cull_keyframes(k)
+                self.map.bump_version()
 
     def _refresh_point_stats(self, k: int):
         for f in np.nonzero(self.map.kf_mp_idx[k] >= 0)[0]:
@@ -498,6 +500,7 @@ class LocalMapper:
             if epoch is not None and self.map.epoch != epoch:
                 return
             self._ba_apply(res, cams, pts, fixed, oc, op, O, n_local)
+            self.map.bump_version()
 
     def _ba_snapshot(self, k: int):
         m = self.map
@@ -771,6 +774,7 @@ class LocalMapper:
                 f"global BA: {len(kfs)} KFs, {len(pts)} pts "
                 f"(+{n_prop} KFs, {len(others)} pts propagated)"
             )
+            m.bump_version()
 
     # ----------------------------------------------------------------- utils
 

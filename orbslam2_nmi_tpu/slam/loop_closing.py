@@ -84,6 +84,7 @@ class LoopCloser:
                 ok, Scw_corr, matched_cur, loop_mps = self._compute_sim3(k, cand)
                 if ok:
                     self._correct_loop(k, cand, Scw_corr, matched_cur, loop_mps)
+                    self.map.bump_version()
                     closed = True
                     break
         self.db.add(k, self.map.kf_feat_desc[k], self.map.kf_feat_valid[k])

@@ -64,6 +64,15 @@ class MapStore:
 
     n_keyframes: int = 0
     n_points: int = 0
+    # correction counter, bumped whenever an ASYNC worker lands a map
+    # correction (local/global BA write-back, keyframe processing, loop
+    # correction, NMI anchor). The pipelined front-end compares it per frame
+    # and re-anchors its device carry on change — the analogue of the classic
+    # path's per-frame Tracking::UpdateLastFrame (Tracking.cc:1020). Without
+    # it, corrections landing mid-chain leave the carry's poses/landmarks
+    # stale against the corrected candidate set until the next keyframe, and
+    # the two populations fight in pose GN (the r4 far-arc pose jumps).
+    version: int = 0
     # generation counter, bumped by clear(): async workers snapshot it when
     # they dequeue a keyframe and abandon their work if a System::Reset wiped
     # the map underneath them (the reference serializes this by draining the
@@ -300,6 +309,10 @@ class MapStore:
         if m == 0:
             self.mp_valid[p] = False
             self._queue_free_slot(int(p))
+
+    def bump_version(self):
+        """Mark a landed map correction (caller holds the lock)."""
+        self.version += 1
 
     def _queue_free_slot(self, p: int):
         if p not in self._mp_free_queued:

@@ -141,6 +141,7 @@ class AsyncNMI:
                 sysm.map.kf_Tcw[k] = np.asarray(out.Tcw, np.float32)
                 sysm.map.kf_nmi_reloc[k] = True
                 sysm.map.kf_nmi_failed[k] = False
+                sysm.map.bump_version()
                 # credit the drift measured at submit time on searched axes
                 # (Tracking.cc:600-612 per-axis reset; motion during the sweep
                 # stays accumulated)

@@ -191,15 +191,15 @@ def run_replay(world, frames, use_nmi: bool = True, async_mapping: bool = True,
         fe = PipelinedFrontend(sys_, lag=pipeline_lag)
         t0 = time.perf_counter()
         res_a = fe.run(frames[:warmup], ts[:warmup], start_id=0)
-        t_warm = time.perf_counter() - t0
-        t0 = time.perf_counter()
         res_b = fe.run(frames[warmup:], ts[warmup:], start_id=warmup)
-        t_steady = time.perf_counter() - t0
         results = res_a + res_b
-        n_steady = len(res_b)
-        t_frames = [t_warm / max(len(res_a), 1)] * len(res_a) + [
-            t_steady / max(n_steady, 1)
-        ] * n_steady
+        # REAL per-frame latencies: deltas between consecutive frame
+        # completions recorded inside the frontend (a re-tracked frame keeps
+        # its final completion). The reference times every TrackMonocular
+        # call (mono_ETH.cc:107-116); r4 fabricated these from a bulk mean,
+        # which made p50 == p95 == max and hid every NMI/BA stall.
+        walls = [fe.completion_walls[fid] for fid in sorted(fe.completion_walls)]
+        t_frames = list(np.diff(np.asarray([t0] + walls)))
         n_ok = sum(
             1 for r in results
             if r is not None and r.state == TrackingState.OK and r.Tcw is not None
