@@ -216,8 +216,7 @@ class SyntheticMeshWorld:
         zero = jnp.zeros((1, 3), jnp.float32)
         for b0 in range(0, len(frame_ids), batch):
             ids = list(frame_ids[b0 : b0 + batch])
-            poses, datas = [], []
-            binned = None
+            poses, binned_list = [], []
             for i in ids:
                 T = self.pose_at(i, n_frames)
                 binned = raster.bin_mesh(
@@ -234,13 +233,47 @@ class SyntheticMeshWorld:
                         f"frame {i} (tile capacity 384 exceeded)"
                     )
                 poses.append(T)
-                datas.append(binned.tri_data)
-            stacked = jax.device_put(np.stack(datas))  # one upload per batch
+                binned_list.append(binned)
+            # Batch-COMMON texture-window side with per-frame ORIGINS. The
+            # r4 version reused the last frame's BinnedMesh wholesale (only
+            # tri_data swapped): its pose-specific tex_origin windows then
+            # clipped texels for every other frame of the batch — screen-
+            # tile-anchored artifacts, consistent within a batch and jumping
+            # at batch boundaries, which biased the tracked pose chain and
+            # seeded the far-arc drift. Ground-truth imagery must be
+            # pose-exact: windows are recomputed per frame against one
+            # shared (max) side so the whole batch still compiles once.
+            wins = [b.tex_win for b in binned_list]
+            use_win = min(wins) > 0
+            origins = []
+            if use_win:
+                win = max(wins)
+                for b in binned_list:
+                    o = np.asarray(b.tex_origin) if b.tex_win == win else None
+                    if o is None:
+                        o, w2 = raster._tile_texture_windows(
+                            b.tri_data, b.texture.shape, b.tex_hw, force_win=win
+                        )
+                        if o is None:
+                            use_win = False
+                            break
+                    origins.append(o)
+            stacked = jax.device_put(
+                np.stack([b.tri_data for b in binned_list])
+            )  # one upload per batch
             if b0 == 0:
-                tex_dev = jax.device_put(binned.texture)
+                tex_dev = jax.device_put(binned_list[0].texture)
+            org_stacked = (
+                jax.device_put(np.stack(origins)) if use_win else None
+            )
             imgs = [
                 raster.render_mesh_grid(
-                    binned._replace(tri_data=stacked[j], texture=tex_dev),
+                    binned_list[j]._replace(
+                        tri_data=stacked[j],
+                        texture=tex_dev,
+                        tex_origin=org_stacked[j] if use_win else None,
+                        tex_win=win if use_win else 0,
+                    ),
                     poses[j], K, zero, near, far, interpret=_not_tpu(), out_u8=True,
                 )[0]
                 for j in range(len(ids))

@@ -240,7 +240,8 @@ def bin_mesh(
     )
 
 
-def _tile_texture_windows(data: np.ndarray, tex_pad_shape, tex_hw):
+def _tile_texture_windows(data: np.ndarray, tex_pad_shape, tex_hw,
+                          force_win: int | None = None):
     """Per-tile texel window origins for the windowed sampler.
 
     A screen tile's triangles usually touch a small texture region; the
@@ -249,6 +250,13 @@ def _tile_texture_windows(data: np.ndarray, tex_pad_shape, tex_hw):
     tile's texel span, +margins) instead of the whole texture cuts its MXU
     work by (tex/window)^2. Returns (origins [n_tiles, 2] int32 as
     (row0, col0), win) — or (None, 0) when no sub-window would help.
+
+    `force_win` pins the window side (must cover this data's spans): batched
+    multi-pose rendering shares ONE compiled kernel across poses, so every
+    pose's origins must be computed against the same side. The per-tile
+    ORIGINS are always pose-specific — reusing another pose's origins samples
+    texels outside the window and corrupts the output (r5 sequence-generator
+    bug: batch frames rendered with the last frame's windows).
     """
     th, tw = tex_hw
     th_pad, tw_pad = tex_pad_shape
@@ -272,6 +280,10 @@ def _tile_texture_windows(data: np.ndarray, tex_pad_shape, tex_hw):
     )
     # +4: bilinear x0+1 plus the ~0.25-texel UV quantization of the z-key
     win = max(_pad_up(int(np.ceil(span)) + 4, 128), 128)
+    if force_win is not None:
+        if force_win < win:
+            return None, 0  # forced side cannot cover this pose's spans
+        win = force_win
     # the square window must fit inside BOTH texture dims and be smaller than
     # at least one of them to pay off
     if win > min(th_pad, tw_pad) or win >= max(th_pad, tw_pad):

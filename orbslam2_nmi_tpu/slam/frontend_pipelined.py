@@ -179,7 +179,6 @@ class PipelinedFrontend:
             order = [tr.ref_kf] + [int(k) for k in kfs if int(k) != tr.ref_kf]
             picked = np.full(m.mp_valid.shape[0], False)
             out = []
-            n_got = 0
             for k in order:
                 ps = m.kf_mp_idx[k]
                 ps = ps[ps >= 0]
@@ -187,13 +186,33 @@ class PipelinedFrontend:
                 if len(ps):
                     picked[ps] = True
                     out.append(ps)
-                    n_got += len(ps)
-                if n_got >= C:
-                    break
             ids = (
-                np.concatenate(out)[:C].astype(np.int64)
+                np.concatenate(out).astype(np.int64)
                 if out else np.zeros(0, np.int64)
             )
+            if len(ids) > C and tr.last_frame.Tcw is not None:
+                # Frustum pre-filter BEFORE truncating to device capacity:
+                # on large local maps a pure covisibility-order truncation
+                # keeps whole keyframes' point sets regardless of visibility,
+                # and the fused step starves of in-view candidates exactly
+                # when the map is biggest (r4 far-arc inlier collapse, cand
+                # pegged at capacity). Project at the last processed pose
+                # (one frame stale, same contract as the candidate set
+                # itself) with a 64 px margin.
+                T = tr.last_frame.Tcw
+                cam = self.cfg.camera
+                pc = m.mp_pos[ids] @ T[:3, :3].T + T[:3, 3]
+                z = np.maximum(pc[:, 2], 1e-9)
+                u = cam.K[0, 0] * pc[:, 0] / z + cam.K[0, 2]
+                v = cam.K[1, 1] * pc[:, 1] / z + cam.K[1, 2]
+                mgn = 64.0
+                vis = (
+                    (pc[:, 2] > 0)
+                    & (u >= -mgn) & (u < cam.width + mgn)
+                    & (v >= -mgn) & (v < cam.height + mgn)
+                )
+                ids = ids[vis]
+            ids = ids[:C]
         k = len(ids)
         pts = np.zeros((C, 3), np.float32)
         desc = np.zeros((C, 8), np.uint32)

@@ -275,12 +275,28 @@ class MapStore:
             return
         if self.kf_mp_idx[k, f] >= 0:
             self.remove_observation(k, int(f))
+        if self.mp_obs_n[p] >= MAX_OBS_PER_POINT:
+            # Observation list full: evict the OLDEST observation through
+            # remove_observation so unbinding and covisibility stay exactly
+            # accounted. The reference's observations map is unbounded
+            # (MapPoint.h mObservations); silently dropping the new entry
+            # (pre-r5 behavior) left kf_mp_idx bound but the observation
+            # invisible to BA, and made covisibility increments asymmetric
+            # with later decrements — phantom covis weights corrupted
+            # local-map selection on long runs with dense keyframe cadence.
+            k_old = int(self.mp_obs_kf[p, 0])
+            f_old = int(self.mp_obs_feat[p, 0])
+            if k_old >= 0 and self.kf_mp_idx[k_old, f_old] == p:
+                self.remove_observation(k_old, f_old)
+            else:  # stale entry (should not happen): drop it without accounting
+                self.mp_obs_kf[p, :-1] = self.mp_obs_kf[p, 1:]
+                self.mp_obs_feat[p, :-1] = self.mp_obs_feat[p, 1:]
+                self.mp_obs_n[p] -= 1
         self.kf_mp_idx[k, f] = p
         n = self.mp_obs_n[p]
-        if n < MAX_OBS_PER_POINT:
-            self.mp_obs_kf[p, n] = k
-            self.mp_obs_feat[p, n] = f
-            self.mp_obs_n[p] = n + 1
+        self.mp_obs_kf[p, n] = k
+        self.mp_obs_feat[p, n] = f
+        self.mp_obs_n[p] = n + 1
         # incremental covisibility: k now shares p with every other observer
         for kk in self.mp_obs_kf[p, : self.mp_obs_n[p]]:
             if kk >= 0 and kk != k:

@@ -833,6 +833,12 @@ class Tracker:
         want = bool((c1a or c1b) and c2) or bool(c1a and n_inliers > 15)
         if not want:
             return False
+        # KF-condition log (the reference logs c1a/c1b/c1c/c2, Tracking.cc:1284)
+        self.log(
+            f"frame {frame.frame_id}: KF due c1a={int(c1a)} c1b={int(c1b)} "
+            f"c2={int(c2)} inl={n_inliers} ref_tracked={ref_tracked} "
+            f"ref_kf={self.ref_kf}"
+        )
         if idle:
             return True
         pipeline.interrupt_ba()  # Tracking.cc:1293

@@ -27,8 +27,10 @@ import numpy as np
 # bump when world generation OR the renderer's numerics change — the NMI
 # oracle scores live renders against this imagery, so both must come from
 # the same raster convention (v3: fp32 edge/plane evaluation; v4: bf16x3 MXU
-# plane evaluation + windowed texture sampler)
-SEQ_VERSION = 4
+# plane evaluation + windowed texture sampler; v5: per-frame texture-window
+# origins in batched rendering — v4 sequences carry screen-tile-anchored
+# sampling artifacts that jump at 16-frame batch boundaries)
+SEQ_VERSION = 5
 
 
 def sequence_cache_path(n_frames: int, width: int, height: int, seed: int,

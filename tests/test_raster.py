@@ -235,3 +235,20 @@ def test_binning_margin_covers_grid():
     Tcw2[:3, 3] = -off[0]
     img_rebin, _ = render_one(mesh, Tcw=Tcw2)
     np.testing.assert_allclose(img_batch[0], img_rebin[0], atol=0.5)
+
+
+def test_batched_render_frames_matches_single():
+    """SyntheticMeshWorld.render_frames batches uploads across frames but the
+    output must be POSE-EXACT per frame: the r4 version reused the last
+    frame's per-tile texture-window origins for the whole batch, which
+    clipped texels for every other frame (screen-tile-anchored artifacts
+    jumping at 16-frame batch boundaries — the seed of the far-arc drift).
+    Batched rendering must be pixel-identical to single-frame rendering."""
+    from orbslam2_nmi_tpu.io.synthetic import SyntheticMeshWorld
+
+    world = SyntheticMeshWorld.generate(seed=1, n_grid=48)
+    ids = [0, 200, 400]
+    batched = world.render_frames(ids, 520, 256, 48, batch=3)
+    for j, i in enumerate(ids):
+        single = world.render_frames([i], 520, 256, 48, batch=1)
+        assert np.array_equal(batched[j], single[0]), f"frame {i} differs"

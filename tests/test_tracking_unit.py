@@ -292,3 +292,51 @@ def test_map_point_slot_recycling_with_observations():
     assert {a, b} == {pts[0], pts[1]}
     with pytest.raises(RuntimeError):
         add_pt()  # exactly two slots were queued, no duplicates
+
+
+def test_observation_cap_evicts_oldest_with_exact_covis():
+    """When a point's observation list saturates, the OLDEST observation is
+    evicted with full accounting (reference observations are unbounded,
+    MapPoint.h mObservations). Pre-r5 the new entry was silently dropped:
+    kf_mp_idx stayed bound while BA/covis never saw the observation, and the
+    asymmetric increments left permanent phantom covisibility weights."""
+    from orbslam2_nmi_tpu.config import CameraConfig, ORBConfig, SystemConfig, TrackingConfig
+    from orbslam2_nmi_tpu.slam import map_store as ms
+    from orbslam2_nmi_tpu.slam.map_store import MapStore
+
+    cfg = SystemConfig(
+        camera=CameraConfig(fx=300, fy=300, cx=160, cy=120, width=320, height=240),
+        orb=ORBConfig(n_features=64, n_levels=2),
+        tracking=TrackingConfig(
+            max_frames=10, max_keyframes=ms.MAX_OBS_PER_POINT + 8,
+            max_map_points=8, max_features=64,
+        ),
+    )
+    m = MapStore(cfg)
+    rng = np.random.default_rng(2)
+    M = ms.MAX_OBS_PER_POINT
+    for _ in range(M + 4):
+        m.add_keyframe(
+            np.eye(4, dtype=np.float32), int(m.n_keyframes), 0.0,
+            np.zeros((64, 2), np.float32), np.zeros(64, np.int32),
+            np.zeros(64, np.float32),
+            rng.integers(0, 2**32, (64, 8), dtype=np.uint32), np.ones(64, bool),
+        )
+    p = m.add_map_point(
+        np.zeros(3, np.float32), np.zeros(8, np.uint32), 0, np.zeros(3, np.float32)
+    )
+    for k in range(M + 4):
+        m.add_observation(k, 0, p)
+    # list stays at capacity holding the NEWEST observers
+    assert m.mp_obs_n[p] == M
+    assert set(m.mp_obs_kf[p, :M].tolist()) == set(range(4, M + 4))
+    # evicted keyframes were unbound
+    for k in range(4):
+        assert m.kf_mp_idx[k, 0] == -1
+    # covisibility is exactly consistent with the surviving observer set:
+    # every listed pair has weight 1 via this point, evicted pairs weight 0
+    assert m.covis[0, 1] == 0 and m.covis[3, 5] == 0
+    assert m.covis[4, 5] == 1 and m.covis[4, M + 3] == 1
+    # full teardown returns the matrix to zero — no phantom weights
+    m.remove_map_point(p)
+    assert int(np.abs(m.covis).sum()) == 0
