@@ -213,6 +213,13 @@ class MapStore:
         parent = self.kf_parent[k]
         children = np.nonzero(self.kf_parent[: self.n_keyframes] == k)[0]
         for c in children:
+            if not self.kf_valid[c]:
+                # A child culled EARLIER stored Tcp[c] relative to k; its
+                # parent pointer now skips k, so the spanning-tree walk
+                # (System.cc:551-556 `Trw *= mTcp`) would compose c->k with
+                # k's NEW parent and land frames meters off. Fold k's own
+                # hop in so Tcp[c] stays exact: (c->k) @ (k->parent).
+                self.kf_Tcp[c] = (self.kf_Tcp[c] @ self.kf_Tcp[k]).astype(np.float32)
             self.kf_parent[c] = parent
         for cb in self.on_keyframe_removed:
             cb(k)

@@ -842,17 +842,19 @@ class Tracker:
         if idle:
             return True
         pipeline.interrupt_ba()  # Tracking.cc:1293
-        # Deviation from the reference's strict monocular idle gate
+        # Bounded deviation from the reference's strict monocular idle gate
         # (Tracking.cc:1290-1302 refuses whenever the mapper is mid-keyframe):
-        # accept when nothing further is QUEUED — the in-flight keyframe's BA
-        # was just interrupted and picks this one up next, and the queue stays
-        # bounded at 1. With the strict gate, any rig where the mapper's
-        # per-keyframe latency exceeds the inter-keyframe interval (e.g. a
-        # network-tunneled device) starves keyframe creation entirely — no
-        # keyframes -> no NMI anchors -> unbounded drift, the failure the
-        # whole fork exists to prevent. (The reference's stereo path makes
-        # the same trade with a queue<3 gate, Tracking.cc:1296-1301.)
-        return pipeline.queue_empty()
+        # CADENCE-due keyframes (c1a — the 30-frame interval that carries the
+        # NMI anchor schedule) are still accepted when nothing further is
+        # queued, because on a rig where mapper latency exceeds the cadence
+        # interval the strict gate starves keyframes -> no NMI anchors ->
+        # unbounded drift, the failure the fork exists to prevent. (The
+        # reference's stereo path makes the same trade with a queue<3 gate,
+        # Tracking.cc:1296-1301.) Pure-c2 inserts keep the STRICT gate: the
+        # queue-empty relaxation bounded queue LENGTH, not RATE, so c2
+        # bursts created a keyframe every other frame — ~10x the mapper
+        # device work of the reference's busy-refusal behavior.
+        return c1a and pipeline.queue_empty()
 
     def _create_keyframe(self, frame: FrameData):
         k = self.map.add_keyframe(

@@ -137,6 +137,76 @@ def run(n_frames: int = 160, n_total: int = 520, width: int = 960,
     return budget
 
 
+def run_windowed(n_frames: int = 160, window_start: int = 60,
+                 n_total: int = 520, width: int = 960, height: int = 540,
+                 trace_dir: str = None) -> dict:
+    """MEASURED steady-state budget: trace ONLY frames [window_start,
+    n_frames) of a single continuous replay — the init NMI chains and
+    two-view bootstrap stay outside the trace window, so the per-frame
+    number is a measurement over the post-init regime, not an amortization
+    estimate (r4 VERDICT: '32 vs 33 ms is too close to call by
+    extrapolation'). Async mapping/NMI work triggered by the window is
+    drained INSIDE the trace so its device time is charged to the window.
+    Also reports genuine per-frame wall-latency percentiles for the window
+    (frontend completion-time deltas)."""
+    import time
+
+    import jax
+    import numpy as np
+
+    from orbslam2_nmi_tpu.slam.frontend_pipelined import PipelinedFrontend
+    from orbslam2_nmi_tpu.tools import replay_bench
+
+    world, frames = replay_bench.generate_sequence(
+        n_frames, width, height, n_total=n_total
+    )
+    # warm pass: compiles + caches out of the traced run
+    replay_bench.run_replay(
+        world, frames[: min(48, n_frames)], use_nmi=True, async_mapping=True,
+        n_total=n_total, pipelined=True,
+    )
+    sys_ = replay_bench.build_system(world, width, height)
+    sys_.set_init_poses(
+        world.pose_at(0, n_total), world.pose_at(sys_.cfg.nmi.offset, n_total)
+    )
+    fe = PipelinedFrontend(sys_)
+    ts = np.arange(n_frames) / 30.0
+    fe.run(frames[:window_start], ts[:window_start], start_id=0)
+    # drain init-era async work so it is not charged to the window
+    sys_.pipeline.flush(timeout=600.0)
+    sys_.nmi_worker.flush(timeout=600.0)
+    trace_dir = trace_dir or tempfile.mkdtemp(prefix="device_budget_w_")
+    t0 = time.perf_counter()
+    with jax.profiler.trace(trace_dir):
+        fe.run(frames[window_start:], ts[window_start:], start_id=window_start)
+        sys_.pipeline.flush(timeout=600.0)
+        sys_.nmi_worker.flush(timeout=600.0)
+    wall = time.perf_counter() - t0
+    n_win = n_frames - window_start
+    mod = parse_device_module_times(trace_dir)
+    budget = budget_from_module_times(mod, n_win)
+    walls = [fe.completion_walls[f] for f in sorted(fe.completion_walls)
+             if f >= window_start]
+    d = np.diff(np.asarray(walls))
+    budget.update({
+        "window": [window_start, n_frames],
+        "wall_fps_window": round(n_win / wall, 2),
+        "frame_ms_p50": round(float(np.median(d)) * 1e3, 1),
+        "frame_ms_p95": round(float(np.quantile(d, 0.95)) * 1e3, 1),
+        "frame_ms_max": round(float(d.max()) * 1e3, 1),
+        "n_keyframes": int(sys_.map.n_keyframes),
+        "n_nmi_anchors": int(
+            np.sum(sys_.map.kf_nmi_reloc[sys_.map.valid_keyframe_indices()])
+        ),
+        "top_modules_ms": {
+            k: round(v * 1e3, 1)
+            for k, v in sorted(mod.items(), key=lambda kv: -kv[1])[:12]
+        },
+    })
+    sys_.shutdown()
+    return budget
+
+
 def main():
     import argparse
 
@@ -147,8 +217,17 @@ def main():
     p.add_argument("--frames", type=int, default=160)
     p.add_argument("--total", type=int, default=520)
     p.add_argument("--classic", action="store_true")
+    p.add_argument("--window", type=int, default=None, metavar="START",
+                   help="measured steady-state mode: trace only frames "
+                        "[START, --frames) of one continuous replay")
     args = p.parse_args()
-    print(json.dumps(run(args.frames, args.total, pipelined=not args.classic), indent=2))
+    if args.window is not None:
+        print(json.dumps(run_windowed(args.frames, args.window, args.total),
+                         indent=2))
+    else:
+        print(json.dumps(
+            run(args.frames, args.total, pipelined=not args.classic), indent=2
+        ))
 
 
 if __name__ == "__main__":

@@ -340,3 +340,48 @@ def test_observation_cap_evicts_oldest_with_exact_covis():
     # full teardown returns the matrix to zero — no phantom weights
     m.remove_map_point(p)
     assert int(np.abs(m.covis).sum()) == 0
+
+
+def test_spanning_tree_walk_after_chained_culls():
+    """Trajectory recomposition must stay exact when a culled keyframe's
+    PARENT is culled later: the child's stored Tcp was relative to the
+    removed parent, so the hop must be composed into it when the parent
+    goes (System.cc:551-556 walk semantics). Pre-r5 the child was silently
+    re-parented without composition and recomposed frames landed meters
+    off (isolated err_final spikes in CIRCUIT_DIAG while online error was
+    centimeters)."""
+    from orbslam2_nmi_tpu.config import CameraConfig, ORBConfig, SystemConfig, TrackingConfig
+    from orbslam2_nmi_tpu.io.trajectory import recompose_trajectory
+    from orbslam2_nmi_tpu.slam.map_store import MapStore
+
+    cfg = SystemConfig(
+        camera=CameraConfig(fx=300, fy=300, cx=160, cy=120, width=320, height=240),
+        orb=ORBConfig(n_features=16, n_levels=2),
+        tracking=TrackingConfig(
+            max_frames=10, max_keyframes=8, max_map_points=8, max_features=16
+        ),
+    )
+    m = MapStore(cfg)
+    rng = np.random.default_rng(3)
+
+    def pose(i):
+        T = np.eye(4, dtype=np.float32)
+        T[:3, 3] = [0.3 * i, 0.1 * i, 0.0]
+        return T
+
+    for i in range(4):
+        m.add_keyframe(
+            pose(i), i, 0.0, np.zeros((16, 2), np.float32),
+            np.zeros(16, np.int32), np.zeros(16, np.float32),
+            rng.integers(0, 2**32, (16, 8), dtype=np.uint32), np.ones(16, bool),
+        )
+        m.kf_parent[i] = i - 1
+    # a frame tracked relative to KF 3
+    T_f = pose(5)
+    rows = [(5, 0.2, (T_f @ np.linalg.inv(pose(3))).astype(np.float32), 3, False, [])]
+    # cull 3 (parent 2), then cull 2 (parent 1): 3's Tcp must fold in 2's hop
+    m.remove_keyframe(3)
+    m.remove_keyframe(2)
+    out = recompose_trajectory(rows, m)
+    assert len(out) == 1
+    np.testing.assert_allclose(out[0][2], T_f, atol=1e-5)
