@@ -158,27 +158,37 @@ def main():
     evals_per_s = n_pairs / dt
     baseline_evals_per_s = 1458.0  # see module docstring
 
-    # ---- full-pipeline replay (end-to-end fps + ATE on a real chip):
-    # 160-frame prefix of the 520-frame synthetic-mesh circuit, full SLAM
-    # stack incl. local mapping, place recognition and NMI relocalization.
-    # Sequence imagery + compiled executables are content-keyed on-disk
-    # caches; cold generation costs ~10 min once per machine.
+    # ---- HEADLINE full-pipeline replay (end-to-end fps + ATE on a real
+    # chip): the FULL 520-frame closed circuit under a PHOTOMETRIC DOMAIN
+    # GAP — camera imagery rendered from a sun-shaded copy of the terrain
+    # plus exposure-drift/vignette/gamma/noise, while the NMI prior keeps
+    # the flat texture; accept threshold is the reference's own 0.1
+    # (ETH_small.yaml:75). This is the regime the mutual-information metric
+    # exists for (NMI.cu:230-363) and the full-length loop-closing course —
+    # not the benign same-renderer prefix (r4 VERDICT #4/#5). Sequence
+    # imagery + compiled executables are content-keyed on-disk caches; cold
+    # generation costs ~10 min once per machine.
     replay = {}
     try:
         from orbslam2_nmi_tpu.tools import replay_bench
 
-        n_frames, n_total = 160, 520
+        n_total = 520
         world, frames = replay_bench.generate_sequence(
-            n_frames, W, H, n_total=n_total
+            n_total, W, H, domain_gap=True
         )
         out = replay_bench.run_replay(
             world, frames, use_nmi=True, async_mapping=True, n_total=n_total,
-            pipelined=True,  # fused device-resident front-end (the TPU path)
+            pipelined=True, threshold=0.1,
         )
         replay = {
+            "domain_gap": True,
+            "threshold": 0.1,
             "frames_per_s_full_pipeline": round(out["fps_steady"], 2),
             "frames_per_s_p50": round(out["fps_median"], 2),
             "vs_30fps_target": round(out["fps_steady"] / 30.0, 3),
+            "frame_ms_p50": round(out["frame_ms_p50"], 1),
+            "frame_ms_p95": round(out["frame_ms_p95"], 1),
+            "frame_ms_max": round(out["frame_ms_max"], 1),
             "ate_rmse_m_unaligned": round(out["ate_rmse"], 4),
             "n_frames": out["n_frames"],
             "n_tracked": out["n_tracked"],
@@ -190,30 +200,30 @@ def main():
     except Exception as e:  # keep the headline metric flowing regardless
         replay = {"error": f"{type(e).__name__}: {e}"}
 
-    # ---- photometric-domain-gap replay: camera imagery from a sun-shaded
-    # mesh + exposure/vignette/gamma/noise, NMI prior keeps the FLAT texture;
-    # accept threshold is the reference's 0.1 (ETH_small.yaml:75). This is
-    # the regime the mutual-information metric exists for.
-    dg = {}
+    # ---- control: same-renderer (photometrically self-referential) 160-
+    # frame prefix at the wider 0.45 gate — the r4 headline, kept as the
+    # ideal-imagery control.
+    ctrl = {}
     try:
         from orbslam2_nmi_tpu.tools import replay_bench
 
         world, frames = replay_bench.generate_sequence(
-            160, W, H, n_total=520, domain_gap=True
+            160, W, H, n_total=520
         )
         out = replay_bench.run_replay(
             world, frames, use_nmi=True, async_mapping=True, n_total=520,
-            pipelined=True, threshold=0.1,
+            pipelined=True,
         )
-        dg = {
-            "domain_gap": True,
-            "threshold": 0.1,
+        ctrl = {
+            "domain_gap": False,
+            "threshold": 0.45,
             "ate_rmse_m_unaligned": round(out["ate_rmse"], 4),
             "n_tracked": out["n_tracked"],
             "n_nmi_anchors": out.get("n_nmi_anchors"),
+            "frames_per_s": round(out["fps_steady"], 2),
         }
     except Exception as e:
-        dg = {"error": f"{type(e).__name__}: {e}"}
+        ctrl = {"error": f"{type(e).__name__}: {e}"}
 
     print(
         json.dumps(
@@ -232,7 +242,7 @@ def main():
                 ),
                 "vs_baseline": round(evals_per_s / baseline_evals_per_s, 2),
                 "full_pipeline_replay": replay,
-                "domain_gap_replay": dg,
+                "control_self_referential_replay": ctrl,
             }
         )
     )

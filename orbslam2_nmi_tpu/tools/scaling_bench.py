@@ -40,12 +40,16 @@ from orbslam2_nmi_tpu.geometry import se3
 mesh = mesh_lib.make_mesh(n)
 rng = np.random.default_rng(0)
 
-def timed(fn, n_runs=3):
+def timed(fn, n_runs=5):
+    # >=5 independent repeats with spread (r4 VERDICT #6: scaling numbers
+    # without variance are unfalsifiable on a shared-core host)
     fn()  # compile + warm
-    t0 = time.perf_counter()
+    ts = []
     for _ in range(n_runs):
+        t0 = time.perf_counter()
         fn()
-    return (time.perf_counter() - t0) / n_runs
+        ts.append(time.perf_counter() - t0)
+    return ts
 
 # --- NMI: 8 translation x 8 rotation candidates at 240x320 (point splat)
 H, W = 240, 320
@@ -105,7 +109,13 @@ pprob = pose_graph.PoseGraphProblem(
 t_pg = timed(lambda: sharded_pose_graph.sharded_optimize_pose_graph(
     mesh, pprob, iters=5).block_until_ready())
 
-print(json.dumps({"n": n, "nmi_s": t_nmi, "ba_s": t_ba, "pose_graph_s": t_pg}))
+def stats(ts):
+    med = float(np.median(ts))
+    return {"median_s": med, "min_s": float(np.min(ts)), "max_s": float(np.max(ts)),
+            "std_s": float(np.std(ts)), "cv": float(np.std(ts) / med), "n_runs": len(ts)}
+
+print(json.dumps({"n": n, "nmi_s": stats(t_nmi), "ba_s": stats(t_ba),
+                  "pose_graph_s": stats(t_pg)}))
 """
 
 
@@ -126,17 +136,22 @@ def run(device_counts=(1, 2, 4, 8), out_path: str | None = None) -> dict:
     base = rows[device_counts[0]]
     table = {"device_counts": list(device_counts), "stages": {}}
     for key in ("nmi_s", "ba_s", "pose_graph_s"):
+        med = {n: rows[n][key]["median_s"] for n in device_counts}
         table["stages"][key] = {
-            "seconds": {n: rows[n][key] for n in device_counts},
+            "median_s": med,
+            "cv": {n: round(rows[n][key]["cv"], 3) for n in device_counts},
+            "min_s": {n: rows[n][key]["min_s"] for n in device_counts},
+            "max_s": {n: rows[n][key]["max_s"] for n in device_counts},
+            "n_runs": rows[device_counts[0]][key]["n_runs"],
             # fixed TOTAL work on shared cores: ideal wall time is FLAT in n,
             # so t(n)/t(1) isolates the cost sharding adds (collectives,
             # padding, replicated solves) — the term that eats scaling
             # efficiency on a real pod, where per-chip work drops 1/n
             "overhead_factor": {
-                n: rows[n][key] / base[key] for n in device_counts
+                n: med[n] / med[device_counts[0]] for n in device_counts
             },
             "efficiency_estimate": {
-                n: base[key] / rows[n][key] for n in device_counts
+                n: med[device_counts[0]] / med[n] for n in device_counts
             },
         }
     table["note"] = (
