@@ -24,7 +24,8 @@ import numpy as np
 
 
 def run(n_frames: int = 520, width: int = 960, height: int = 540,
-        use_nmi: bool = False, max_frames: int = 15) -> dict:
+        use_nmi: bool = False, max_frames: int = 15,
+        n_features: int = 2000) -> dict:
     from orbslam2_nmi_tpu.io.trajectory import ate_rmse, recompose_trajectory
     from orbslam2_nmi_tpu.slam.frontend_pipelined import PipelinedFrontend
     from orbslam2_nmi_tpu.slam.tracking import TrackingState
@@ -35,13 +36,12 @@ def run(n_frames: int = 520, width: int = 960, height: int = 540,
     )
     sys_ = replay_bench.build_system(
         world, width, height, use_nmi=use_nmi, async_mapping=True,
-        max_frames=max_frames,
+        max_frames=max_frames, n_features=n_features,
     )
     sys_.set_init_poses(
         world.pose_at(0, n_frames), world.pose_at(sys_.cfg.nmi.offset, n_frames)
     )
     m = sys_.map
-    lc = sys_.loop_closer
 
     def ate_now():
         rows = recompose_trajectory(sys_.tracker.trajectory, m)
@@ -51,21 +51,36 @@ def run(n_frames: int = 520, width: int = 960, height: int = 540,
         gt = [world.pose_at(r[0], n_frames) for r in rows]
         return round(float(ate_rmse(est, gt, align=not use_nmi)), 4)
 
-    # instrument the organic firing (called with the map lock held)
+    # instrument the organic firing (called with the map lock held). The
+    # loop closer is built LAZILY once the vocabulary trains from early
+    # keyframes (SLAMSystem.ensure_vocabulary), so hook its construction.
     events: list = []
-    orig_correct = lc._correct_loop
 
-    def correct_wrapped(k, cand, Scw_corr, matched_cur=None, loop_mps=None):
-        ev = {"kf": int(k), "cand": int(cand),
-              "frame_id": int(m.kf_frame_id[k]),
-              "ate_before_m": ate_now(), "t_fire": time.perf_counter()}
-        t0 = time.perf_counter()
-        orig_correct(k, cand, Scw_corr, matched_cur, loop_mps)
-        ev["correct_loop_s"] = round(time.perf_counter() - t0, 2)
-        ev["ate_after_essential_graph_m"] = ate_now()
-        events.append(ev)
+    def install(lc):
+        orig_correct = lc._correct_loop
 
-    lc._correct_loop = correct_wrapped
+        def correct_wrapped(k, cand, Scw_corr, matched_cur=None, loop_mps=None):
+            ev = {"kf": int(k), "cand": int(cand),
+                  "frame_id": int(m.kf_frame_id[k]),
+                  "ate_before_m": ate_now(), "t_fire": time.perf_counter()}
+            t0 = time.perf_counter()
+            orig_correct(k, cand, Scw_corr, matched_cur, loop_mps)
+            ev["correct_loop_s"] = round(time.perf_counter() - t0, 2)
+            ev["ate_after_essential_graph_m"] = ate_now()
+            events.append(ev)
+
+        lc._correct_loop = correct_wrapped
+
+    if sys_.loop_closer is not None:
+        install(sys_.loop_closer)
+    else:
+        orig_build = sys_._build_place_recognition
+
+        def build_wrapped():
+            orig_build()
+            install(sys_.loop_closer)
+
+        sys_._build_place_recognition = build_wrapped
 
     fe = PipelinedFrontend(sys_)
     ts = np.arange(n_frames) / 30.0
@@ -103,7 +118,9 @@ def run(n_frames: int = 520, width: int = 960, height: int = 540,
         "n_keyframes": int(m.n_keyframes),
         "n_kf_valid": int(m.kf_valid.sum()),
         "use_nmi": use_nmi,
-        "n_loop_closures": len(lc.loop_edges),
+        "n_loop_closures": (
+            len(sys_.loop_closer.loop_edges) if sys_.loop_closer else 0
+        ),
         "loop_events": events,
         "ate_final_m": ate_final,
         "gba_drain_at_end_s": gba_drain_s,
@@ -128,9 +145,14 @@ def main():
     p.add_argument("--use-nmi", action="store_true")
     p.add_argument("--max-frames", type=int, default=15,
                    help="keyframe cadence cap (denser KFs on the wide circuit)")
+    p.add_argument("--features", type=int, default=2000,
+                   help="ORB budget; a lean budget (e.g. 600) manufactures "
+                        "the mid-drift regime where the correction is "
+                        "measurable (r4 VERDICT #3)")
     p.add_argument("--out", default="")
     args = p.parse_args()
-    out = run(args.frames, use_nmi=args.use_nmi, max_frames=args.max_frames)
+    out = run(args.frames, use_nmi=args.use_nmi, max_frames=args.max_frames,
+              n_features=args.features)
     if args.out:
         with open(args.out, "w") as f:
             json.dump(out, f, indent=2)
