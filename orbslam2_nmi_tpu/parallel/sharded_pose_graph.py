@@ -3,12 +3,16 @@
 The post-loop pose graph (solvers/pose_graph.py; reference
 Optimizer::OptimizeEssentialGraph, src/Optimizer.cc:798) has one natural
 parallel axis: the EDGES (spanning tree + loop + strong covisibility). Normal
-equations are additive over edges, so each chip assembles H/b from its edge
-shard and the blocks are psum-reduced over ICI; the dense [7V, 7V] solve
+equations are additive over edges, so each chip computes its edge shard's
+7x7 GN blocks and ONLY those O(E) blocks ride the interconnect
+(all_gather, ~161 floats/edge): an essential graph touches ~2E+V of the
+V^2 block pairs (1-2% at loop scale), so exchanging a psum-reduced dense
+[7V, 7V] H — the previous design — moved ~50-70x more bytes per iteration
+than the information content. The dense scatter + Cholesky solve
 (V = keyframes, a few hundred) does not parallelize usefully, so it runs on
 ONE chip and the updated poses are broadcast with a psum — same critical path
 as a replicated solve, but no duplicated FLOPs (SURVEY.md §2.4 P7 pattern:
-block-row assembly + psum-reduced reduced system).
+block-row assembly + root-solved reduced system).
 """
 
 from __future__ import annotations
@@ -50,29 +54,42 @@ def sharded_optimize_pose_graph(
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P()),
+        in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(), P(), P()),
         out_specs=P(),
         check_vma=False,
     )
-    def gn_step_sharded(Scw, ei, ej, Sji, ev, free):
-        H, b = pg.assemble_normal_equations(Scw, ei, ej, Sji, ev, V)
-        H = jax.lax.psum(H, axis)
-        b = jax.lax.psum(b, axis)
-        # solve on chip 0 only, broadcast the updated poses (psum of a
-        # zero-masked value = broadcast); a replicated solve would cost
+    def gn_step_sharded(Scw, ei, ej, Sji, ev, ei_full, ej_full, free):
+        HII, HJJ, HIJ, bI, bJ = pg.edge_blocks(Scw, ei, ej, Sji, ev)
+        E_loc = ei.shape[0]
+        flat = jnp.concatenate(
+            [HII.reshape(E_loc, 49), HJJ.reshape(E_loc, 49),
+             HIJ.reshape(E_loc, 49), bI, bJ], axis=-1,
+        )  # [E_loc, 161]
+        # tiled all_gather reassembles shards in device order = the original
+        # padded edge order, so the replicated ei_full/ej_full index it
+        flat_all = jax.lax.all_gather(flat, axis, tiled=True)  # [E, 161]
+        # scatter + solve on chip 0 only, broadcast the updated poses (psum
+        # of a zero-masked value = broadcast); a replicated solve would cost
         # n_devices x the FLOPs for the same wall time
         on_root = jax.lax.axis_index(axis) == 0
-        S_new = jax.lax.cond(
-            on_root,
-            lambda: pg.solve_and_update(Scw, H, b, free, lam),
-            lambda: jnp.zeros_like(Scw),
-        )
+
+        def solve_root():
+            H, b = pg.scatter_blocks(
+                V, ei_full, ej_full,
+                flat_all[:, :49].reshape(-1, 7, 7),
+                flat_all[:, 49:98].reshape(-1, 7, 7),
+                flat_all[:, 98:147].reshape(-1, 7, 7),
+                flat_all[:, 147:154], flat_all[:, 154:161],
+            )
+            return pg.solve_and_update(Scw, H, b, free, lam)
+
+        S_new = jax.lax.cond(on_root, solve_root, lambda: jnp.zeros_like(Scw))
         return jax.lax.psum(S_new, axis)
 
     @functools.partial(jax.jit, static_argnames=())
     def run(Scw, ei, ej, Sji, ev, free):
         def gn_step(S, _):
-            return gn_step_sharded(S, ei, ej, Sji, ev, free), None
+            return gn_step_sharded(S, ei, ej, Sji, ev, ei, ej, free), None
 
         S, _ = jax.lax.scan(gn_step, Scw, None, length=iters)
         return S

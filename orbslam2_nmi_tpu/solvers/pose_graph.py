@@ -48,12 +48,14 @@ def _residual_with_delta(di, dj, Si, Sj, Sji):
 _jac = jax.jacfwd(_residual_with_delta, argnums=(0, 1))
 
 
-def assemble_normal_equations(Scw, edge_i, edge_j, edge_Sji, edge_valid, V):
-    """Per-edge GN blocks scatter-added into dense H [V,V,7,7], b [V,7].
+def edge_blocks(Scw, edge_i, edge_j, edge_Sji, edge_valid):
+    """Per-edge GN contributions: HII/HJJ/HIJ [E,7,7], bI/bJ [E,7].
 
-    Factored out so the observation/edge-sharded multi-chip path
-    (parallel/sharded_pose_graph.py) can run it per edge shard and
-    psum-reduce the results — normal equations are additive over edges."""
+    Factored out so the edge-sharded multi-chip path
+    (parallel/sharded_pose_graph.py) can compute blocks per edge shard and
+    all_gather ONLY these O(E) blocks — an essential graph touches ~2E+V of
+    the V^2 block pairs (about 1-2% at loop scale), so exchanging blocks
+    instead of the dense H cuts the per-iteration collective ~50-70x."""
     Si = Scw[edge_i]
     Sj = Scw[edge_j]
     zero = jnp.zeros(7)
@@ -69,7 +71,11 @@ def assemble_normal_equations(Scw, edge_i, edge_j, edge_Sji, edge_valid, V):
     HIJ = jnp.einsum("eki,e,ekj->eij", Ji, w, Jj)
     bI = jnp.einsum("eki,e,ek->ei", Ji, w, e)
     bJ = jnp.einsum("eki,e,ek->ei", Jj, w, e)
+    return HII, HJJ, HIJ, bI, bJ
 
+
+def scatter_blocks(V, edge_i, edge_j, HII, HJJ, HIJ, bI, bJ):
+    """Scatter-add per-edge blocks into dense H [V,V,7,7], b [V,7]."""
     H = jnp.zeros((V, V, 7, 7))
     H = H.at[edge_i, edge_i].add(HII)
     H = H.at[edge_j, edge_j].add(HJJ)
@@ -79,6 +85,13 @@ def assemble_normal_equations(Scw, edge_i, edge_j, edge_Sji, edge_valid, V):
     b = b.at[edge_i].add(bI)
     b = b.at[edge_j].add(bJ)
     return H, b
+
+
+def assemble_normal_equations(Scw, edge_i, edge_j, edge_Sji, edge_valid, V):
+    """Per-edge GN blocks scatter-added into dense H [V,V,7,7], b [V,7]."""
+    return scatter_blocks(
+        V, edge_i, edge_j, *edge_blocks(Scw, edge_i, edge_j, edge_Sji, edge_valid)
+    )
 
 
 def solve_and_update(Scw, H, b, free, lam):
