@@ -25,14 +25,18 @@ import numpy as np
 
 def run(n_frames: int = 520, width: int = 960, height: int = 540,
         use_nmi: bool = False, max_frames: int = 15,
-        n_features: int = 2000) -> dict:
+        n_features: int = 2000, domain_gap: bool = False) -> dict:
     from orbslam2_nmi_tpu.io.trajectory import ate_rmse, recompose_trajectory
     from orbslam2_nmi_tpu.slam.frontend_pipelined import PipelinedFrontend
     from orbslam2_nmi_tpu.slam.tracking import TrackingState
     from orbslam2_nmi_tpu.tools import replay_bench
 
+    # domain_gap degrades matching smoothly (full feature budget survives,
+    # drift accumulates) — the measurable-correction regime; a lean feature
+    # budget instead collapses tracking outright (LOOP_LIVE600/1200 runs:
+    # 243-310/520 tracked, <=10 KFs, no revisit to detect)
     world, frames = replay_bench.generate_sequence(
-        n_frames, width, height, circuit="wide"
+        n_frames, width, height, circuit="wide", domain_gap=domain_gap
     )
     sys_ = replay_bench.build_system(
         world, width, height, use_nmi=use_nmi, async_mapping=True,
@@ -149,10 +153,14 @@ def main():
                    help="ORB budget; a lean budget (e.g. 600) manufactures "
                         "the mid-drift regime where the correction is "
                         "measurable (r4 VERDICT #3)")
+    p.add_argument("--domain-gap", action="store_true",
+                   help="photometric-gap camera imagery: matching degrades "
+                        "smoothly at full feature budget, manufacturing the "
+                        "mid-drift regime where the correction is measurable")
     p.add_argument("--out", default="")
     args = p.parse_args()
     out = run(args.frames, use_nmi=args.use_nmi, max_frames=args.max_frames,
-              n_features=args.features)
+              n_features=args.features, domain_gap=args.domain_gap)
     if args.out:
         with open(args.out, "w") as f:
             json.dump(out, f, indent=2)

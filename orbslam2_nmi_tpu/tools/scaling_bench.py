@@ -24,6 +24,7 @@ import sys
 _WORKER = r"""
 import os, sys, time, json
 n = int(sys.argv[1])
+stages = sys.argv[2].split(",") if len(sys.argv) > 2 else ["nmi", "ba", "pg"]
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + f" --xla_force_host_platform_device_count={n}"
 ).strip()
@@ -63,7 +64,7 @@ angles = homography.rotation_grid_angles((2, 2, 2), (0.03, 0.03, 0.03))
 frame = render.render_pointcloud(model, jnp.eye(4), K, H, W, 1.0, 30.0, 3)
 t_nmi = timed(lambda: sharded_nmi.sharded_nmi_search(
     mesh, model, frame, jnp.eye(4), offsets, angles, K, H, W, 1.0, 30.0,
-    use_pallas=False).block_until_ready())
+    use_pallas=False).block_until_ready()) if "nmi" in stages else None
 
 # --- BA: 64 cams x 4096 pts, ~40k observations
 n_cams, n_pts = 64, 4096
@@ -90,7 +91,7 @@ prob = local_ba.BAProblem(
     obs_valid=jnp.ones(len(oc), bool),
 )
 t_ba = timed(lambda: sharded_ba.sharded_bundle_adjust(
-    mesh, prob, iters1=3, iters2=3).cam_Tcw.block_until_ready())
+    mesh, prob, iters1=3, iters2=3).cam_Tcw.block_until_ready()) if "ba" in stages else None
 
 # --- pose graph: 256 keyframes, chain + loop + covisibility edges
 V = 256
@@ -107,19 +108,23 @@ pprob = pose_graph.PoseGraphProblem(
     edge_valid=jnp.ones(len(meas), bool),
 )
 t_pg = timed(lambda: sharded_pose_graph.sharded_optimize_pose_graph(
-    mesh, pprob, iters=5).block_until_ready())
+    mesh, pprob, iters=5).block_until_ready()) if "pg" in stages else None
 
 def stats(ts):
     med = float(np.median(ts))
     return {"median_s": med, "min_s": float(np.min(ts)), "max_s": float(np.max(ts)),
             "std_s": float(np.std(ts)), "cv": float(np.std(ts) / med), "n_runs": len(ts)}
 
-print(json.dumps({"n": n, "nmi_s": stats(t_nmi), "ba_s": stats(t_ba),
-                  "pose_graph_s": stats(t_pg)}))
+out = {"n": n}
+if t_nmi is not None: out["nmi_s"] = stats(t_nmi)
+if t_ba is not None: out["ba_s"] = stats(t_ba)
+if t_pg is not None: out["pose_graph_s"] = stats(t_pg)
+print(json.dumps(out))
 """
 
 
-def run(device_counts=(1, 2, 4, 8), out_path: str | None = None) -> dict:
+def run(device_counts=(1, 2, 4, 8), out_path: str | None = None,
+        stages: str = "nmi,ba,pg") -> dict:
     repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
@@ -128,14 +133,15 @@ def run(device_counts=(1, 2, 4, 8), out_path: str | None = None) -> dict:
     rows = {}
     for n in device_counts:
         out = subprocess.run(
-            [sys.executable, "-c", _WORKER, str(n)],
+            [sys.executable, "-c", _WORKER, str(n), stages],
             capture_output=True, text=True, env=env, cwd=repo_root, timeout=1200,
         )
         assert out.returncode == 0, out.stdout + out.stderr
         rows[n] = json.loads(out.stdout.strip().splitlines()[-1])
-    base = rows[device_counts[0]]
     table = {"device_counts": list(device_counts), "stages": {}}
-    for key in ("nmi_s", "ba_s", "pose_graph_s"):
+    for key in rows[device_counts[0]]:
+        if key == "n":
+            continue
         med = {n: rows[n][key]["median_s"] for n in device_counts}
         table["stages"][key] = {
             "median_s": med,
@@ -171,5 +177,8 @@ def run(device_counts=(1, 2, 4, 8), out_path: str | None = None) -> dict:
 
 
 if __name__ == "__main__":
-    t = run(out_path=sys.argv[1] if len(sys.argv) > 1 else None)
+    t = run(
+        out_path=sys.argv[1] if len(sys.argv) > 1 else None,
+        stages=sys.argv[2] if len(sys.argv) > 2 else "nmi,ba,pg",
+    )
     print(json.dumps(t, indent=1))
